@@ -1,0 +1,44 @@
+"""Test config: force the CPU backend with 8 virtual devices so multi-chip
+sharding tests run anywhere (the standard JAX fake-multi-device trick).
+Must run before jax initializes its backends.
+"""
+import os
+
+# Force override: the image's sitecustomize pins JAX_PLATFORMS=axon (TPU) and
+# may import jax before this file runs, so set both the env var and the config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_scene(rng, n_views=3, h=16, w=24, noise=0.1):
+    """Random-but-sane multi-view camera setup for geometry tests."""
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]], np.float32)
+    Ks, Rs, ts = [], [], []
+    for i in range(n_views):
+        angle = noise * (rng.random(3) - 0.5)
+        cx, sx = np.cos(angle[0]), np.sin(angle[0])
+        cy, sy = np.cos(angle[1]), np.sin(angle[1])
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]], np.float32)
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        R = (Rx @ Ry).astype(np.float32)
+        t = (0.3 * (rng.random((3, 1)) - 0.5)).astype(np.float32)
+        Ks.append(K.copy())
+        Rs.append(R)
+        ts.append(t)
+    return (np.stack(Ks), np.stack(Rs), np.stack(ts))

@@ -1,0 +1,170 @@
+"""Plane-sweep warp tests: analytic camera setups with known flows."""
+import numpy as np
+import jax.numpy as jnp
+
+from wildmvs.geometry.projective import build_proj_matrices
+from wildmvs.ops import plane_sweep as ps
+from wildmvs.ops import volumes as vol
+
+
+def _cams(f=50.0, w=16, h=12, tx=0.0):
+    K = np.array([[f, 0, (w - 1) / 2], [0, f, (h - 1) / 2], [0, 0, 1]], np.float32)
+    R = np.eye(3, dtype=np.float32)
+    t_ref = np.zeros((3, 1), np.float32)
+    t_src = np.array([[tx], [0.0], [0.0]], np.float32)
+    return K, R, t_ref, t_src
+
+
+def test_identity_warp_reproduces_source():
+    h, w, c, d = 12, 16, 3, 4
+    rng = np.random.default_rng(1)
+    src = rng.standard_normal((1, h, w, c)).astype(np.float32)
+    K, R, t_ref, _ = _cams(w=w, h=h)
+    P = np.asarray(build_proj_matrices(jnp.array(K)[None], jnp.array(R)[None],
+                                       jnp.array(t_ref)[None]))
+    depths = np.linspace(2.0, 5.0, d, dtype=np.float32)[None]
+    out = ps.plane_sweep_warp(jnp.array(src), jnp.array(P), jnp.array(P),
+                              jnp.array(depths))
+    out = np.asarray(out)
+    assert out.shape == (1, d, h, w, c)
+    for i in range(d):
+        np.testing.assert_allclose(out[0, i], src[0], atol=1e-4)
+
+
+def test_translated_camera_known_disparity():
+    # src camera shifted by tx along x; a fronto-parallel plane at depth z
+    # appears in src at x_src = x_ref - f * tx / z  (R=I, src cam at +tx)
+    h, w, c = 10, 20, 1
+    f, tx, z = 40.0, 0.5, 4.0
+    xs = np.arange(w, dtype=np.float32)
+    src = np.tile(xs[None, :, None], (h, 1, c))[None]  # image = x coordinate
+    K, R, t_ref, t_src = _cams(f=f, w=w, h=h, tx=-tx)
+    # world->cam_src: X + t_src, so the src camera center is at (+tx,0,0)
+    Pref = build_proj_matrices(jnp.array(K)[None], jnp.array(R)[None],
+                               jnp.array(t_ref)[None])
+    Psrc = build_proj_matrices(jnp.array(K)[None], jnp.array(R)[None],
+                               jnp.array(t_src)[None])
+    depths = np.array([[z]], np.float32)
+    out = np.asarray(ps.plane_sweep_warp(jnp.array(src), Psrc, Pref,
+                                         jnp.array(depths)))
+    disp = f * (-tx) / z  # = -5 px
+    interior = slice(int(abs(disp)) + 1, w - int(abs(disp)) - 1)
+    expected = xs[interior] + disp
+    got = out[0, 0, h // 2, interior, 0]
+    np.testing.assert_allclose(got, expected, atol=1e-3)
+
+
+def test_homography_sweep_matches_plane_sweep_for_fronto_plane():
+    # Vis-MVSNet homography path and MVSNet projection path must agree on
+    # interior pixels for the same fronto-parallel sweep (different grid
+    # conventions only differ at the 0.5-pixel sampling offset; homography
+    # convention uses pixel centers so compare via its own inverse test):
+    h, w, c, d = 12, 16, 2, 3
+    rng = np.random.default_rng(2)
+    src = rng.standard_normal((1, h, w, c)).astype(np.float32)
+    K, R, t_ref, t_src = _cams(w=w, h=h, tx=-0.3)
+    out = ps.homography_sweep_warp(
+        jnp.array(src), jnp.array(K)[None], jnp.array(R)[None], jnp.array(t_ref)[None],
+        jnp.array(K)[None], jnp.array(R)[None], jnp.array(t_ref)[None],
+        d, jnp.full((1, 1, 1, 1), 2.0), jnp.full((1, 1, 1, 1), 1.0))
+    # identical cams -> identity homography at any depth.
+    # +0.5-centered grid normalized by /size*2-1 then sampled align_corners=True
+    # introduces a uniform half-pixel shift (the Vis-MVSNet convention), so
+    # compare against the source sampled the same way at the interior.
+    out = np.asarray(out)
+    assert out.shape == (1, d, h, w, c)
+    # identity homography: all depth slices identical
+    np.testing.assert_allclose(out[0, 0], out[0, -1], atol=1e-5)
+
+
+def test_behind_camera_pixels_are_zero():
+    # plane behind the source camera -> warped features must be 0
+    h, w, c = 8, 8, 2
+    src = np.ones((1, h, w, c), np.float32)
+    K, R, t_ref, _ = _cams(w=w, h=h)
+    P = build_proj_matrices(jnp.array(K)[None], jnp.array(R)[None],
+                            jnp.array(np.zeros((3, 1), np.float32))[None])
+    depths = np.array([[-2.0]], np.float32)  # negative depth: behind
+    out = np.asarray(ps.plane_sweep_warp(jnp.array(src), P, P, jnp.array(depths)))
+    np.testing.assert_allclose(out, 0.0, atol=0)
+
+
+def test_variance_volume_zero_for_identical_views():
+    b, d, h, w, c = 1, 3, 4, 5, 6
+    rng = np.random.default_rng(3)
+    ref = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    warped = jnp.broadcast_to(jnp.array(ref)[:, None], (b, d, h, w, c))
+    cv = np.asarray(vol.variance_cost_volume(jnp.array(ref), [warped, warped],
+                                             num_depth=d))
+    np.testing.assert_allclose(cv, 0.0, atol=1e-5)
+
+
+def test_variance_volume_matches_numpy():
+    b, d, h, w, c = 2, 3, 4, 5, 6
+    rng = np.random.default_rng(4)
+    ref = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    w1 = rng.standard_normal((b, d, h, w, c)).astype(np.float32)
+    w2 = rng.standard_normal((b, d, h, w, c)).astype(np.float32)
+    cv = np.asarray(vol.variance_cost_volume(jnp.array(ref),
+                                             [jnp.array(w1), jnp.array(w2)],
+                                             num_depth=d))
+    stack = np.stack([np.broadcast_to(ref[:, None], w1.shape), w1, w2])
+    expect = (stack ** 2).mean(0) - stack.mean(0) ** 2
+    np.testing.assert_allclose(cv, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_softmin_volume_matches_numpy():
+    b, d, h, w, c = 1, 2, 3, 4, 5
+    rng = np.random.default_rng(5)
+    ref = rng.standard_normal((b, h, w, c)).astype(np.float32)
+    w1 = rng.standard_normal((b, d, h, w, c)).astype(np.float32)
+    w2 = rng.standard_normal((b, d, h, w, c)).astype(np.float32)
+    temp = 0.7
+    cv = np.asarray(vol.softmin_cost_volume(jnp.array(ref),
+                                            [jnp.array(w1), jnp.array(w2)],
+                                            temperature=temp))
+    se, sv = 0.0, 0.0
+    for wv in [w1, w2]:
+        diff = (ref[:, None] - wv) ** 2
+        e = np.exp(-temp * diff.sum(-1, keepdims=True))
+        se = se + e
+        sv = sv + e * diff
+    np.testing.assert_allclose(cv, sv / (se + 1e-6), rtol=1e-4, atol=1e-5)
+
+
+def test_depth_regression_and_confidence():
+    b, d, h, w = 1, 8, 3, 4
+    rng = np.random.default_rng(6)
+    scores = rng.standard_normal((b, d, h, w)).astype(np.float32)
+    prob = np.exp(scores) / np.exp(scores).sum(1, keepdims=True)
+    depth_values = np.linspace(1, 8, d, dtype=np.float32)[None]
+    got = np.asarray(vol.depth_regression(jnp.array(prob), jnp.array(depth_values)))
+    expect = (prob * depth_values[0, :, None, None]).sum(1)
+    np.testing.assert_allclose(got, expect, rtol=1e-5)
+
+    conf = np.asarray(vol.photometric_confidence(jnp.array(prob)))
+    assert conf.shape == (b, h, w)
+    assert (conf >= 0).all() and (conf <= 1.0 + 1e-5).all()
+    # one-hot probability -> confidence 1
+    onehot = np.zeros((b, d, h, w), np.float32)
+    onehot[:, 3] = 1.0
+    conf1 = np.asarray(vol.photometric_confidence(jnp.array(onehot)))
+    np.testing.assert_allclose(conf1, 1.0, atol=1e-6)
+
+
+def test_soft_argmin_window():
+    scores = np.zeros((1, 5, 2, 2), np.float32)
+    scores[:, 2] = 10.0  # peak at index 2
+    prob, idx, pm = vol.soft_argmin(jnp.array(scores), window=2)
+    np.testing.assert_allclose(np.asarray(idx), 2.0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(pm), 1.0, atol=1e-3)
+
+
+def test_groupwise_correlation():
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((2, 3, 4, 32)).astype(np.float32)
+    b = rng.standard_normal((2, 3, 4, 32)).astype(np.float32)
+    out = np.asarray(vol.groupwise_correlation(jnp.array(a), jnp.array(b), 8))
+    assert out.shape == (2, 3, 4, 8)
+    expect = (a.reshape(2, 3, 4, 8, 4) * b.reshape(2, 3, 4, 8, 4)).sum(-1)
+    np.testing.assert_allclose(out, expect, rtol=1e-4)

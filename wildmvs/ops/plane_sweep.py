@@ -1,0 +1,201 @@
+"""Plane-sweep warping — the hot op of every MVS architecture here.
+
+Given source-view features and relative projection, produce the source features
+resampled onto the reference pixel grid for every depth hypothesis.  Two grid
+conventions exist in the reference and both are reproduced exactly:
+
+  * MVSNet/CVP convention (models/MVSNet/module.py:111-169,
+    models/CVP_MVSNet/models/modules.py:74-128): integer pixel grid,
+    behind-camera points sent to pixel -10, align_corners=True normalization
+    x_n = x/((W-1)/2) - 1, grid clamped to [-10, 10].
+  * Vis-MVSNet convention (models/VisMVSNet/homography.py:77-121): pixel-center
+    grid (+0.5), plane-induced homographies, normalization x_n = 2 x / W - 1,
+    clamp to [-1.1, 1.1], behind-camera -> pixel -10, align_corners=True sample.
+
+Layout: features [B, H, W, C]; output volumes [B, D, H, W, C]; depth values
+either [B, D] (fronto-parallel sweep) or [B, D, H, W] (per-pixel hypothesis
+maps, used by CVP refinement and Vis-MVSNet stages 2-3).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.projective import pixel_grid
+from .grid_sample import grid_sample
+
+
+def sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
+               depth_values: jnp.ndarray, ref_hw: tuple[int, int],
+               src_hw: tuple[int, int]) -> jnp.ndarray:
+    """Normalized sampling grid for the MVSNet-style plane sweep.
+
+    Parity: models/MVSNet/module.py:127-155.
+
+    Args:
+      src_proj, ref_proj: [B, 4, 4] projection matrices.
+      depth_values: [B, D] or [B, D, H, W].
+      ref_hw: (H, W) of the reference feature grid.
+      src_hw: (h, w) of the source feature map (for normalization).
+    Returns:
+      [B, D, H, W, 2] normalized grid, clamped to [-10, 10].
+    """
+    rh, rw = ref_hw
+    sh, sw = src_hw
+    b = src_proj.shape[0]
+    d = depth_values.shape[1]
+
+    proj = src_proj @ jnp.linalg.inv(ref_proj)  # [B, 4, 4]
+    rot = proj[:, :3, :3]
+    trans = proj[:, :3, 3]
+
+    grid = pixel_grid(rh, rw, depth_values.dtype)  # [H, W, 2]
+    xyz = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)  # [H, W, 3]
+    rot_xyz = jnp.einsum("bij,hwj->bhwi", rot, xyz)  # [B, H, W, 3]
+
+    if depth_values.ndim == 2:
+        depth = depth_values.reshape(b, d, 1, 1)
+    else:
+        depth = depth_values  # [B, D, H, W]
+
+    proj_xyz = rot_xyz[:, None] * depth[..., None] + trans[:, None, None, None, :]
+    z = proj_xyz[..., 2]
+    xy = proj_xyz[..., :2] / z[..., None]
+    # behind-camera points go far outside the image (pixel coordinate -10),
+    # matching module.py:147-150
+    xy = jnp.where((z <= 0)[..., None], -10.0, xy)
+    xn = xy[..., 0] / ((sw - 1) / 2.0) - 1.0
+    yn = xy[..., 1] / ((sh - 1) / 2.0) - 1.0
+    return jnp.clip(jnp.stack([xn, yn], axis=-1), -10.0, 10.0)
+
+
+def warp_volume(src_fea: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """Sample source features over a [B, D, H, W, 2] grid (align_corners=True).
+
+    Returns [B, D, H, W, C]. Parity: models/MVSNet/module.py:164-167.
+    """
+    return jax.vmap(lambda im, g: grid_sample(im, g, align_corners=True))(src_fea, grid)
+
+
+def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
+                     ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
+                     ref_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """MVSNet homography warp: source features -> reference sweep volume.
+
+    Parity: models/MVSNet/module.py:111-169 (`homo_warping`).
+
+    Args:
+      src_fea: [B, h, w, C] source features.
+      src_proj, ref_proj: [B, 4, 4].
+      depth_values: [B, D] or [B, D, H, W].
+      ref_hw: reference grid size; defaults to the source size.
+    Returns:
+      [B, D, H, W, C] warped feature volume (zeros out-of-frustum).
+    """
+    if ref_hw is None:
+        ref_hw = src_fea.shape[1:3]
+    grid = sweep_grid(src_proj, ref_proj, depth_values, ref_hw, src_fea.shape[1:3])
+    return warp_volume(src_fea, grid)
+
+
+# ---------------------------------------------------------------------------
+# Vis-MVSNet convention: plane-induced homographies + pixel-center sampling.
+# ---------------------------------------------------------------------------
+
+def get_homographies(K_ref, R_ref, t_ref, K_src, R_src, t_src,
+                     depth_num: int, depth_start, depth_interval,
+                     inverse_depth: bool = False) -> jnp.ndarray:
+    """Fronto-parallel plane-induced homographies per depth hypothesis.
+
+    Parity: models/VisMVSNet/homography.py:23-74 (`get_homographies`); the
+    reference packs cams as [B,2,4,4] arrays — here poses are passed directly.
+
+    Args:
+      K_ref, R_ref: [B, 3, 3]; t_ref: [B, 3, 1]; same for src.
+      depth_start: [B, 1, 1, 1] or [B, 1, H, W] (per-pixel slab start).
+      depth_interval: [B, 1, 1, 1].
+    Returns:
+      [B, D, H', W', 3, 3] homographies (H'/W' broadcast dims of depth_start).
+    """
+    d = depth_num
+    dtype = K_ref.dtype
+    steps = jnp.arange(d, dtype=dtype).reshape(1, d, 1, 1)
+    if not inverse_depth:
+        depth = depth_start + depth_interval * steps  # [B, D, H', W']
+    else:
+        depth_end = depth_start + (d - 1) * depth_interval
+        inv_interv = (1.0 / (depth_start + 1e-9) - 1.0 / (depth_end + 1e-9)) / (d - 1 + 1e-9)
+        depth = 1.0 / (1.0 / (depth_end + 1e-9) + inv_interv * steps)
+    depth = depth[..., None, None]  # [B, D, H', W', 1, 1]
+
+    K_ref_inv = jnp.linalg.inv(K_ref)
+    R_ref_T = jnp.swapaxes(R_ref, -1, -2)
+    R_src_T = jnp.swapaxes(R_src, -1, -2)
+    fronto = R_ref[:, 2:3, :]  # [B, 1, 3]
+    c_ref = -R_ref_T @ t_ref
+    c_src = -R_src_T @ t_src
+    c_rel = c_src - c_ref  # [B, 3, 1]
+
+    temp = (c_rel @ fronto)[:, None, None, None]  # [B,1,1,1,3,3]
+    eye = jnp.eye(3, dtype=dtype)
+    mid0 = eye - temp / (depth + 1e-9)  # [B, D, H', W', 3, 3]
+    mid1 = (R_ref_T @ K_ref_inv)[:, None, None, None]
+    homog = (K_src @ R_src)[:, None, None, None] @ (mid0 @ mid1)
+    return homog
+
+
+def homography_warp(src: jnp.ndarray, H: jnp.ndarray,
+                    ref_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Warp source features by (possibly per-pixel) homographies.
+
+    Parity: models/VisMVSNet/homography.py:107-121 incl. the repo's
+    behind-camera modification, and `interpolate` (:85-104): coords divided by
+    the source size, clamped to [-1.1, 1.1], sampled align_corners=True.
+
+    Args:
+      src: [B, h, w, C] source features.
+      H: [B, 3, 3] or [B, H', W', 3, 3] homographies mapping ref pixels
+        (center convention, +0.5) to source pixels.
+      ref_hw: output grid size (defaults to source size).
+    Returns:
+      [B, H, W, C].
+    """
+    if ref_hw is None:
+        ref_hw = src.shape[1:3]
+    rh, rw = ref_hw
+    sh, sw = src.shape[1:3]
+    grid = pixel_grid(rh, rw, src.dtype, offset=0.5)
+    hom = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)  # [H, W, 3]
+    if H.ndim == 3:
+        warped = jnp.einsum("bij,hwj->bhwi", H, hom)
+    else:
+        warped = jnp.einsum("bhwij,hwj->bhwi", H, hom)
+    z = warped[..., 2]
+    xy = warped[..., :2] / jnp.maximum(z, 1e-9)[..., None]
+    xy = jnp.where((z > 0)[..., None], xy, -10.0)
+    # interpolate(): normalize by the *size* (not size-1), then *2-1
+    xn = xy[..., 0] / sw * 2.0 - 1.0
+    yn = xy[..., 1] / sh * 2.0 - 1.0
+    grid_n = jnp.clip(jnp.stack([xn, yn], -1), -1.1, 1.1)
+    return jax.vmap(lambda im, g: grid_sample(im, g, align_corners=True))(src, grid_n)
+
+
+def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
+                          t_src, depth_num: int, depth_start, depth_interval,
+                          ref_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Vis-MVSNet cost-volume warp: [B, D, H, W, C] via per-depth homographies.
+
+    Parity: models/VisMVSNet/model_cas.py:176-187 (`build_cost_volume`).
+    depth_start may be [B,1,1,1] or a per-pixel [B,1,H,W] map (stages 2-3).
+    """
+    if ref_hw is None:
+        ref_hw = src.shape[1:3]
+    Hs = get_homographies(K_ref, R_ref, t_ref, K_src, R_src, t_src,
+                          depth_num, depth_start, depth_interval)
+    # Hs: [B, D, H', W', 3, 3] with H' in {1, H}
+    def per_depth(Hd):
+        # Hd: [B, H', W', 3, 3]
+        if Hd.shape[1] == 1 and Hd.shape[2] == 1:
+            return homography_warp(src, Hd[:, 0, 0], ref_hw)
+        return homography_warp(src, Hd, ref_hw)
+    return jax.vmap(per_depth, in_axes=1, out_axes=1)(Hs)

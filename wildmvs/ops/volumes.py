@@ -1,0 +1,165 @@
+"""Cost-volume aggregation + depth regression primitives.
+
+All aggregations are associative-decomposable (running sums), so they stream
+over source views without materializing per-view volumes simultaneously, and
+the same running statistics shard cleanly over a mesh `view` axis via psum
+(see wildmvs/dist).  Layout: volumes are [B, D, H, W, C], probability volumes
+[B, D, H, W].
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def variance_cost_volume(ref_feature: jnp.ndarray,
+                         warped_iter: Sequence[jnp.ndarray] | None = None,
+                         *, warp_fns: Sequence[Callable[[], jnp.ndarray]] | None = None,
+                         num_depth: int | None = None) -> jnp.ndarray:
+    """Variance aggregation: E[f^2] - E[f]^2 over {ref} U sources.
+
+    Parity: models/MVSNet/model.py:113-139 (divides the squared sum by
+    num_views**2, i.e. population variance).
+
+    Args:
+      ref_feature: [B, H, W, C].
+      warped_iter: iterable of [B, D, H, W, C] warped source volumes, or
+      warp_fns: thunks producing them lazily (streaming, saves live memory).
+      num_depth: D (required so the ref feature can be broadcast).
+    Returns:
+      [B, D, H, W, C] cost volume.
+    """
+    fns = warp_fns if warp_fns is not None else [lambda v=v: v for v in warped_iter]
+    num_views = len(fns) + 1
+    ref_volume = ref_feature[:, None]  # [B, 1, H, W, C] broadcasts over D
+    if num_depth is None:
+        raise ValueError("num_depth is required")
+    b, h, w, c = ref_feature.shape
+    vol_sum = jnp.broadcast_to(ref_volume, (b, num_depth, h, w, c))
+    vol_sq_sum = vol_sum ** 2
+    for fn in fns:
+        warped = fn()
+        vol_sum = vol_sum + warped
+        vol_sq_sum = vol_sq_sum + warped ** 2
+    return vol_sq_sum / num_views - (vol_sum / num_views) ** 2
+
+
+def softmin_cost_volume(ref_feature: jnp.ndarray,
+                        warped_iter: Sequence[jnp.ndarray] | None = None,
+                        *, warp_fns: Sequence[Callable[[], jnp.ndarray]] | None = None,
+                        temperature: jnp.ndarray = 1.0,
+                        eps: float = 1e-6) -> jnp.ndarray:
+    """Softmin aggregation (MVSNet-s): per-view squared feature differences
+    weighted by exp(-T * ||diff||^2), normalized by the weight sum.
+
+    Parity: models/MVSNet/model.py:141-173.
+
+    Returns [B, D, H, W, C].
+    """
+    fns = warp_fns if warp_fns is not None else [lambda v=v: v for v in warped_iter]
+    ref_volume = ref_feature[:, None]  # [B, 1, H, W, C]
+    sum_exp = None
+    sum_val = None
+    for fn in fns:
+        warped = fn()
+        diff = (ref_volume - warped) ** 2  # [B, D, H, W, C]
+        e = jnp.exp(-temperature * jnp.sum(diff, axis=-1, keepdims=True))
+        sum_exp = e if sum_exp is None else sum_exp + e
+        contrib = e * diff
+        sum_val = contrib if sum_val is None else sum_val + contrib
+    return sum_val / (sum_exp + eps)
+
+
+def groupwise_correlation(v1: jnp.ndarray, v2: jnp.ndarray,
+                          groups: int) -> jnp.ndarray:
+    """Group-wise correlation over the trailing channel axis.
+
+    Parity: models/VisMVSNet/nn_utils.py:473-490 (channel dim there is dim=1;
+    here channels-last). v1/v2: [..., C] -> [..., C // group_size] where the
+    output channel count equals `groups`... note the reference passes
+    groups=8 *channels per group* via cpg=8 with C=32 -> 4 groups? No: the
+    reference calls groupwise_correlation(ref, warped, 8, 1) and splits C=32
+    into shape [groups=8, C//8=4]; output has 8 channels.
+
+    Returns [..., groups]: mean-free dot of each group of C//groups channels.
+    """
+    c = v1.shape[-1]
+    assert c % groups == 0
+    gs = c // groups
+    a = v1.reshape(v1.shape[:-1] + (groups, gs))
+    b = v2.reshape(v2.shape[:-1] + (groups, gs))
+    return jnp.sum(a * b, axis=-1)
+
+
+def depth_regression(prob_volume: jnp.ndarray,
+                     depth_values: jnp.ndarray) -> jnp.ndarray:
+    """Soft-argmin expected depth.
+
+    Parity: models/MVSNet/module.py:174-182.
+
+    Args:
+      prob_volume: [B, D, H, W] softmax weights.
+      depth_values: [B, D] or [B, D, H, W] hypothesis depths.
+    Returns:
+      [B, H, W].
+    """
+    if depth_values.ndim == 2:
+        depth_values = depth_values[..., None, None]
+    return jnp.sum(prob_volume * depth_values, axis=1)
+
+
+def soft_argmin(score_volume: jnp.ndarray, window: int | None = None):
+    """Softmax over depth + expected class index (+ windowed prob map).
+
+    Parity: models/VisMVSNet/nn_utils.py:453-466.
+
+    Args:
+      score_volume: [B, D, H, W] raw scores.
+      window: if set, also return the probability mass within +-window of the
+        expected index (Vis-MVSNet photometric confidence, window=2).
+    Returns:
+      (prob_volume [B,D,H,W], expected_index [B,H,W][, prob_map [B,H,W]]).
+    """
+    prob = jax.nn.softmax(score_volume, axis=1)
+    d = score_volume.shape[1]
+    index = jnp.arange(d, dtype=prob.dtype).reshape(1, d, 1, 1)
+    out = jnp.sum(index * prob, axis=1, keepdims=True)  # [B,1,H,W]
+    if window is None:
+        return prob, out[:, 0]
+    mask = (jnp.abs(index - out) <= window).astype(prob.dtype)
+    prob_map = jnp.sum(prob * mask, axis=1)
+    return prob, out[:, 0], prob_map
+
+
+def entropy(prob_volume: jnp.ndarray, axis: int = 1,
+            keepdims: bool = False) -> jnp.ndarray:
+    """Shannon entropy over the depth axis.
+
+    Parity: models/VisMVSNet/nn_utils.py:469-470 (clamp to [1e-9, 1]).
+    """
+    p = prob_volume
+    return jnp.sum(-p * jnp.log(jnp.clip(p, 1e-9, 1.0)), axis=axis, keepdims=keepdims)
+
+
+def photometric_confidence(prob_volume: jnp.ndarray) -> jnp.ndarray:
+    """Sum of the 4 probability taps around the soft-argmax index.
+
+    Parity: models/MVSNet/model.py:211-215: pad the depth axis by (1, 2),
+    average-pool window 4 (x4), then gather at the regressed integer index.
+
+    Args:
+      prob_volume: [B, D, H, W].
+    Returns:
+      [B, H, W] confidence in [0, 1].
+    """
+    b, d, h, w = prob_volume.shape
+    padded = jnp.pad(prob_volume, ((0, 0), (1, 2), (0, 0), (0, 0)))
+    # window-4 sum along depth: sum4[i] = sum(padded[i:i+4])
+    cums = jnp.cumsum(jnp.pad(padded, ((0, 0), (1, 0), (0, 0), (0, 0))), axis=1)
+    sum4 = cums[:, 4:] - cums[:, :-4]  # [B, D, H, W]
+    idx_f = jnp.sum(prob_volume * jnp.arange(d, dtype=prob_volume.dtype
+                                             ).reshape(1, d, 1, 1), axis=1)
+    idx = idx_f.astype(jnp.int32)  # trunc toward zero == torch .long()
+    return jnp.take_along_axis(sum4, idx[:, None], axis=1)[:, 0]
