@@ -1,0 +1,133 @@
+"""MVSNet — classic single-scale plane sweep (variance and softmin variants).
+
+Parity: models/MVSNet/model.py. Structure:
+  FeatureNet: 7 conv2d (8->16->32 ch, two stride-2) + final conv -> 1/4-res
+    32-ch features (model.py:21-41)
+  cost volume over 192 fixed depth hypotheses, aggregated across views by
+    feature variance (model.py:113-139) or learned-temperature softmin
+    (model.py:141-173)
+  CostRegNet: 3D U-Net (8/16/32/64 ch, three stride-2, transposed-conv up,
+    additive skips; model.py:43-84)
+  softmax over depth -> soft-argmin depth + 4-tap photometric confidence
+    (model.py:205-215)
+
+TPU-first choices: channels-last layouts, all N views featurized in ONE
+batched conv call (the reference loops per view), the warp+aggregate loop
+kept associative so it shards over a mesh `view` axis.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.projective import build_proj_matrices, scale_K
+from ..nn.blocks import ConvBnReLU, ConvTransposeBnReLU, TorchConv
+from ..ops.plane_sweep import plane_sweep_warp
+from ..ops.volumes import (depth_regression, photometric_confidence,
+                           softmin_cost_volume, variance_cost_volume)
+from .api import register_model
+
+
+class FeatureNet(nn.Module):
+    """8-8 / 16-16-16 / 32-32 conv stack, 1/4 resolution, 32 channels.
+    Parity: models/MVSNet/model.py:21-41."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnReLU(8, 3, 1, 1, dtype=self.dtype, name="conv0")(x, train)
+        x = ConvBnReLU(8, 3, 1, 1, dtype=self.dtype, name="conv1")(x, train)
+        x = ConvBnReLU(16, 5, 2, 2, dtype=self.dtype, name="conv2")(x, train)
+        x = ConvBnReLU(16, 3, 1, 1, dtype=self.dtype, name="conv3")(x, train)
+        x = ConvBnReLU(16, 3, 1, 1, dtype=self.dtype, name="conv4")(x, train)
+        x = ConvBnReLU(32, 5, 2, 2, dtype=self.dtype, name="conv5")(x, train)
+        x = ConvBnReLU(32, 3, 1, 1, dtype=self.dtype, name="conv6")(x, train)
+        return TorchConv(32, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                         name="feature")(x)
+
+
+class CostRegNet(nn.Module):
+    """3D U-Net cost regularizer with additive skips.
+    Parity: models/MVSNet/model.py:43-84. Input [B, D, H, W, 32] -> [B, D, H, W, 1]."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = ConvBnReLU(8, dtype=self.dtype, name="conv0")(x, train)
+        c1 = ConvBnReLU(16, strides=2, dtype=self.dtype, name="conv1")(c0, train)
+        c2 = ConvBnReLU(16, dtype=self.dtype, name="conv2")(c1, train)
+        c3 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv3")(c2, train)
+        c4 = ConvBnReLU(32, dtype=self.dtype, name="conv4")(c3, train)
+        c5 = ConvBnReLU(64, strides=2, dtype=self.dtype, name="conv5")(c4, train)
+        x = ConvBnReLU(64, dtype=self.dtype, name="conv6")(c5, train)
+        x = c4 + ConvTransposeBnReLU(32, dtype=self.dtype, name="conv7")(x, train)
+        x = c2 + ConvTransposeBnReLU(16, dtype=self.dtype, name="conv9")(x, train)
+        x = c0 + ConvTransposeBnReLU(8, dtype=self.dtype, name="conv11")(x, train)
+        return TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                         name="prob")(x)
+
+
+@register_model("mvsnet")
+class MVSNet(nn.Module):
+    """MVSNet frontend with the uniform model contract (see models/api.py)."""
+    aggregation: str = "variance"  # "variance" | "softmin" (+ "norm" prefix)
+    num_depth: int = 192
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, K, R, t, depth_min, depth_max,
+                 reference_frame: int = 0, train: bool = False, **kwargs):
+        b, n, h, w, _ = imgs.shape
+
+        # projection matrices at 1/4 feature resolution (model.py:183-185)
+        proj = build_proj_matrices(scale_K(K, 0.25), R, t)  # [B, N, 4, 4]
+
+        # 192 uniformly spaced hypotheses per view's own range (model.py:187-189)
+        steps = jnp.arange(self.num_depth, dtype=imgs.dtype)
+        interval = (depth_max - depth_min) / (self.num_depth - 1)  # [B, N]
+        depth_values = depth_min[..., None] + interval[..., None] * steps  # [B,N,D]
+
+        # one batched featurization of all views (reference loops: model.py:101-107)
+        feats = FeatureNet(dtype=self.dtype, name="feature")(
+            imgs.reshape(b * n, h, w, 3), train)
+        if self.aggregation.startswith("norm"):
+            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
+        fh, fw = feats.shape[1:3]
+        feats = feats.reshape(b, n, fh, fw, -1)
+
+        src_idx = [i for i in range(n) if i != reference_frame]
+        ref_feature = feats[:, reference_frame]
+        ref_proj = proj[:, reference_frame]
+        ref_depths = depth_values[:, reference_frame]  # [B, D]
+
+        agg = self.aggregation.removeprefix("norm").lstrip("-_") or self.aggregation
+        warp_fns = [
+            (lambda i=i: plane_sweep_warp(feats[:, i], proj[:, i], ref_proj,
+                                          ref_depths, (fh, fw)))
+            for i in src_idx
+        ]
+        if agg == "variance":
+            cost_volume = variance_cost_volume(ref_feature, warp_fns=warp_fns,
+                                               num_depth=self.num_depth)
+        elif agg == "softmin":
+            temp = self.param("temp", nn.initializers.ones, (1,), jnp.float32)
+            cost_volume = softmin_cost_volume(ref_feature, warp_fns=warp_fns,
+                                              temperature=temp)
+        else:
+            raise NotImplementedError(f"aggregation: {self.aggregation}")
+
+        cost_reg = CostRegNet(dtype=self.dtype, name="cost_regularization")(
+            cost_volume, train)[..., 0]  # [B, D, H, W]
+        prob_volume = nn.softmax(cost_reg, axis=1)
+        depth = depth_regression(prob_volume, ref_depths)
+        # confidence is a detached diagnostic (model.py:211 no_grad block)
+        confidence = photometric_confidence(jax.lax.stop_gradient(prob_volume))
+        return {
+            "depth": depth,
+            "depth_est_list": [depth],
+            "depth_pair_list": [],
+            "photometric_confidence": confidence,
+        }

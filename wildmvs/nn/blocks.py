@@ -1,0 +1,242 @@
+"""NN building blocks — flax.linen, channels-last, torch-parity semantics.
+
+Every MVS architecture in the reference is assembled from four primitives:
+Conv+BN+ReLU (2D/3D), plain Conv, transposed Conv+BN(+ReLU), and ResNet-style
+BasicBlocks (models/MVSNet/module.py:21-108, models/VisMVSNet/nn_utils.py:123-278,
+models/CVP_MVSNet/models/modules.py:24-28,296-334).  This module provides them
+with torch-matching numerics:
+
+  * convolutions use explicit symmetric padding (torch pads (p, p); XLA 'SAME'
+    can split padding asymmetrically for strided convs, which changes results)
+  * transposed convolutions reproduce torch's ConvTranspose exactly via
+    conv_general_dilated (lhs_dilation = stride, padding (k-1-p, k-1-p+op),
+    spatially flipped kernel)
+  * BatchNorm uses eps 1e-5 / momentum 0.9 (torch's 0.1 complement)
+
+Layouts: 2D tensors [B, H, W, C]; 3D volumes [B, D, H, W, C].
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _tup(v, n):
+    return (v,) * n if isinstance(v, int) else tuple(v)
+
+
+class TorchConv(nn.Module):
+    """Conv with torch-style explicit symmetric padding.
+
+    kernel layout [*k, in, out]; bias optional (reference convs are bias-free
+    except CVP's LeakyReLU convs and the probability heads).
+    """
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        k = _tup(self.kernel_size, nd)
+        s = _tup(self.strides, nd)
+        p = _tup(self.padding, nd)
+        return nn.Conv(self.features, kernel_size=k, strides=s,
+                       padding=[(pi, pi) for pi in p], use_bias=self.use_bias,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class TorchConvTranspose(nn.Module):
+    """Transposed convolution with torch ConvTranspose semantics.
+
+    out_size = (in - 1) * stride - 2 * padding + kernel + output_padding.
+    Implemented as conv_general_dilated(lhs_dilation=stride) with pad
+    (k-1-p, k-1-p+op) and a spatially-flipped kernel — the literal definition
+    of transposed convolution, bit-matching torch (verified in
+    tests/test_nn_blocks.py).
+    """
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 2
+    padding: Sequence[int] | int = 1
+    output_padding: Sequence[int] | int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        nd = x.ndim - 2
+        k = _tup(self.kernel_size, nd)
+        s = _tup(self.strides, nd)
+        p = _tup(self.padding, nd)
+        op = _tup(self.output_padding, nd)
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), k + (in_ch, self.features),
+            jnp.float32)
+        kernel = jnp.flip(kernel, axis=tuple(range(nd)))
+        pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in range(nd)]
+        spatial = "".join("DHW"[3 - nd + i] for i in range(nd))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1,) * nd, padding=pads,
+            lhs_dilation=s, rhs_dilation=(1,) * nd, dimension_numbers=dn)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                              jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+
+
+class ConvBnReLU(nn.Module):
+    """Conv -> BN -> ReLU. Parity: models/MVSNet/module.py:21-28 (2D) and
+    :41-48 (3D); rank inferred from the input."""
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 1
+    padding: Sequence[int] | int = 1
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConv(self.features, self.kernel_size, self.strides,
+                      self.padding, dtype=self.dtype, name="conv")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        return nn.relu(x) if self.relu else x
+
+
+class ConvTransposeBnReLU(nn.Module):
+    """ConvTranspose -> BN -> (ReLU). Parity: models/MVSNet/model.py:57-70."""
+    features: int
+    kernel_size: Sequence[int] | int = 3
+    strides: Sequence[int] | int = 2
+    padding: Sequence[int] | int = 1
+    output_padding: Sequence[int] | int = 1
+    relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = TorchConvTranspose(self.features, self.kernel_size, self.strides,
+                               self.padding, self.output_padding,
+                               dtype=self.dtype, name="deconv")(x)
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+        return nn.relu(x) if self.relu else x
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock with optional 1x1 downsample projection.
+
+    Parity: models/VisMVSNet/nn_utils.py:123-171 (conv-bn-relu, conv-bn,
+    projection shortcut when stride != 1 or channels change, final relu).
+    """
+    features: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        out = ConvBnReLU(self.features, 3, self.strides, 1, dtype=self.dtype,
+                         name="conv1")(x, train)
+        out = ConvBnReLU(self.features, 3, 1, 1, relu=False, dtype=self.dtype,
+                         name="conv2")(out, train)
+        if self.strides != 1 or x.shape[-1] != self.features:
+            residual = TorchConv(self.features, 1, self.strides, 0,
+                                 dtype=self.dtype, name="downsample_conv")(x)
+            residual = BatchNorm(dtype=self.dtype, name="downsample_bn")(
+                residual, train)
+        return nn.relu(out + residual)
+
+
+class ResLayer(nn.Module):
+    """Sequence of BasicBlocks (first may be strided).
+    Parity: models/VisMVSNet/nn_utils.py:175-191 (`_make_layer`)."""
+    features: int
+    blocks: int
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = BasicBlock(self.features, self.strides, dtype=self.dtype,
+                       name="block0")(x, train)
+        for i in range(1, self.blocks):
+            x = BasicBlock(self.features, 1, dtype=self.dtype,
+                           name=f"block{i}")(x, train)
+        return x
+
+
+class UNet(nn.Module):
+    """Configurable UNet over 2D or 3D (rank inferred from input).
+
+    Parity: models/VisMVSNet/nn_utils.py:194-278. Encoder: ResLayers with
+    stride 2 after the first; decoder: deconv + concat-skip + 3x3 conv
+    (+ optional ResLayer); `multi_scale` returns the last k decoder outputs
+    (coarsest..finest), mirroring `forward(..., multi_scale=k)`.
+    """
+    enc_blocks_per_stage: int
+    dec_blocks_per_stage: int
+    filters: Sequence[int]
+    bottom_filters: Sequence[int] = ()
+    head_filters: Sequence[int] = ()
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, multi_scale: int = 1):
+        idx = 0
+        for f in self.bottom_filters:
+            x = ResLayer(f, self.enc_blocks_per_stage, 1 if idx == 0 else 2,
+                         dtype=self.dtype, name=f"bottom{idx}")(x, train)
+            idx += 1
+        enc_out = []
+        for f in self.filters:
+            x = ResLayer(f, self.enc_blocks_per_stage, 1 if idx == 0 else 2,
+                         dtype=self.dtype, name=f"enc{idx}")(x, train)
+            enc_out.append(x)
+            idx += 1
+        dec_out = [x]
+        for i, f in enumerate(list(self.filters[-2::-1])):
+            x = TorchConvTranspose(f, 3, 2, 1, 1, dtype=self.dtype,
+                                   name=f"dec{idx}_deconv")(x)
+            x = jnp.concatenate([x, enc_out[-2 - i]], axis=-1)
+            x = TorchConv(f, 3, 1, 1, dtype=self.dtype,
+                          name=f"dec{idx}_conv")(x)
+            if self.dec_blocks_per_stage > 0:
+                x = ResLayer(f, self.dec_blocks_per_stage, 1, dtype=self.dtype,
+                             name=f"dec{idx}_res")(x, train)
+            dec_out.append(x)
+            idx += 1
+        for f in self.head_filters:
+            x = TorchConvTranspose(f, 3, 2, 1, 1, dtype=self.dtype,
+                                   name=f"head{idx}_deconv")(x)
+            if self.dec_blocks_per_stage > 0:
+                x = ResLayer(f, self.dec_blocks_per_stage, 1, dtype=self.dtype,
+                             name=f"head{idx}_res")(x, train)
+            dec_out.append(x)
+            idx += 1
+        if multi_scale == 1:
+            return x
+        return dec_out[-multi_scale:]
