@@ -77,3 +77,74 @@ def test_gradients_flow(rng):
     assert np.abs(np.asarray(grads["temp"])).sum() > 0
     total = sum(float(jnp.abs(g).sum()) for g in leaves)
     assert total > 0
+
+
+def test_vis_mvsnet_contract(rng):
+    model = build_model("vis_mvsnet", depth_nums=(8, 4, 4),
+                        interval_scales=(4.0, 2.0, 1.0))
+    args = _sample(rng, h=64, w=64)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+    out = model.apply(variables, *args, train=False)
+    b, n, h, w, _ = args[0].shape
+    # cascade resolutions: 1/8, 1/4, 1/2 — finest first
+    assert out["depth"].shape == (b, h // 2, w // 2)
+    assert out["depth_est_list"][0].shape == (b, h // 2, w // 2)
+    assert out["depth_est_list"][1].shape == (b, h // 4, w // 4)
+    assert out["depth_est_list"][2].shape == (b, h // 8, w // 8)
+    assert len(out["depth_pair_list"]) == 3
+    assert len(out["depth_pair_list"][0]) == n - 1
+    d_pair, (unc,) = out["depth_pair_list"][0][0]
+    assert d_pair.shape == (b, h // 2, w // 2)
+    assert unc.shape == (b, h // 2, w // 2)
+    assert out["photometric_confidence"].shape == (b, 3, h // 2, w // 2)
+    for d in out["depth_est_list"]:
+        assert np.isfinite(np.asarray(d)).all()
+
+
+def test_vis_mvsnet_gradients(rng):
+    model = build_model("vis_mvsnet", depth_nums=(4, 4, 4))
+    args = _sample(rng, h=32, w=32)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=True)
+
+    def loss_fn(params):
+        out, _ = model.apply({"params": params,
+                              "batch_stats": variables["batch_stats"]},
+                             *args, train=True, mutable=["batch_stats"])
+        l = jnp.mean(out["depth"])
+        for pairs in out["depth_pair_list"]:
+            for d, (u,) in pairs:
+                l = l + jnp.mean(d) * 0.1 + jnp.mean(u) * 0.1
+        return l
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert sum(float(jnp.abs(g).sum()) for g in leaves) > 0
+
+
+def test_cvp_mvsnet_contract_train_and_eval(rng):
+    model = build_model("cvp_mvsnet", nscale=2)
+    args = _sample(rng, h=64, w=64)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=True)
+    out = model.apply(variables, *args, train=True,
+                      mutable=["batch_stats"])[0]
+    b, n, h, w, _ = args[0].shape
+    assert out["depth"].shape == (b, h, w)        # finest = full res
+    assert out["depth_est_list"][1].shape == (b, h // 2, w // 2)
+    assert out["depth_pair_list"] == []
+    assert np.isfinite(np.asarray(out["depth"])).all()
+
+    # eval path uses the epipolar per-pixel hypothesis intervals
+    out_eval = model.apply(variables, *args, train=False)
+    assert out_eval["depth"].shape == (b, h, w)
+    assert np.isfinite(np.asarray(out_eval["depth"])).all()
+    assert out_eval["photometric_confidence"].shape == (b, h, w)
+
+
+def test_cvp_mvsnet_nscale_override(rng):
+    model = build_model("cvp_mvsnet", nscale=2)
+    args = _sample(rng, h=64, w=64)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=True)
+    out = model.apply(variables, *args, train=False, nscale=3)
+    assert len(out["depth_est_list"]) == 3
+    assert out["depth_est_list"][2].shape[1:] == (16, 16)

@@ -1,0 +1,84 @@
+"""Training-loop tests on the synthetic dataset (tiny shapes, CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wildmvs.data.synthetic import SyntheticMVSDataset, collate
+from wildmvs.train.config import TrainConfig
+from wildmvs.train import trainer as T
+
+
+def make_batch(n_views=3, h=64, w=64, batch=1, seed=0):
+    ds = SyntheticMVSDataset(num_samples=batch, num_views=n_views, height=h,
+                             width=w, seed=seed)
+    b = collate([ds[i] for i in range(batch)])
+    return {k: jnp.array(v) for k, v in b.items() if k != "filename"}
+
+
+def test_config_constraints_and_schedule():
+    cfg = TrainConfig(supervised=True, occ_masking=True)
+    assert not cfg.occ_masking  # supervised forces it off (train.py:305-309)
+    cfg = TrainConfig(lrepochs="4,8:10", lr=1.0)
+    assert cfg.lr_at_epoch(0) == 1.0
+    assert cfg.lr_at_epoch(4) == pytest.approx(0.1)
+    assert cfg.lr_at_epoch(8) == pytest.approx(0.01)
+    assert TrainConfig(architecture="mvsnet").output_down == 4
+    assert TrainConfig(architecture="vis_mvsnet").output_down == 2
+    assert TrainConfig(architecture="cvp_mvsnet",
+                       upsample_training=True).input_down == 4
+
+
+def test_supervised_training_reduces_loss():
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=True, num_depth=16, lr=1e-3)
+    batch = make_batch()
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(8):
+        state, m = T.train_step(state, batch, cfg)
+        losses.append(float(m["train_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
+def test_unsupervised_training_runs():
+    cfg = TrainConfig(architecture="mvsnet-s", dataset="synthetic",
+                      supervised=False, num_depth=16)
+    batch = make_batch()
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(3):
+        state, m = T.train_step(state, batch, cfg)
+        losses.append(float(m["train_loss"]))
+    assert all(np.isfinite(losses))
+
+
+def test_occ_masking_training_runs():
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=False, occ_masking=True, num_depth=8)
+    batch = make_batch(h=32, w=32)
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state, m = T.train_step(state, batch, cfg)
+    assert np.isfinite(float(m["train_loss"]))
+
+
+def test_eval_and_test_steps():
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=True, num_depth=16)
+    batch = make_batch()
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    ev = T.eval_step(state, batch, cfg)
+    assert np.isfinite(float(ev["val_loss"]))
+    metrics = T.test_step(state, batch, cfg)
+    assert set(metrics) == {"EPE", "1pxError", "3pxError"}
+    assert all(np.isfinite(float(v)) for v in metrics.values())
+
+
+def test_set_epoch_lr_updates_optimizer():
+    cfg = TrainConfig(lrepochs="2:10", lr=1e-3, num_depth=8)
+    batch = make_batch(h=32, w=32)
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state = T.set_epoch_lr(state, cfg, epoch=5)
+    assert float(state.opt_state.hyperparams["learning_rate"]) == \
+        pytest.approx(1e-4)

@@ -1,0 +1,267 @@
+"""CVP-MVSNet — coarse-to-fine cost-volume pyramid over an IMAGE pyramid.
+
+Parity: models/CVP_MVSNet/ (models/net.py, models/modules.py, frontend.py).
+Structure:
+  FeaturePyramid: one shared 9-conv LeakyReLU(0.1) extractor (16 ch, full
+    res) run on each level of a bilinear 0.5x image pyramid (net.py:21-47)
+  coarsest level: full plane sweep, 48 hypotheses at train / 96 at eval,
+    interval (max-min)/D (net.py:126-127, modules.py:53-71), variance
+    aggregation, one shared CostRegNet (16/32/64 3D enc-dec, net.py:50-85)
+  each finer level: 2x bicubic-upsampled depth +- 4 hypotheses; interval
+    halved per level at train (net.py:177-182); per-pixel epipolar
+    1-px interval (calDepthHypo, modules.py:131-226) at eval — the
+    reference computes it in float64 on GPU; here it runs in float32 with
+    the same degenerate-point guards and the (repo-modified) median
+    reduction, which is robust to the precision difference
+  photometric confidence at the finest level (net.py:213-219).
+
+TPU-first: channels-last; all views at one pyramid level featurized in one
+batched conv call; the per-pixel-hypothesis warp reuses ops/plane_sweep
+(depth maps [B, D, H, W] are first-class there).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.projective import scale_K
+from ..nn.blocks import ConvBnReLU, ConvTransposeBnReLU, TorchConv
+from ..ops.plane_sweep import plane_sweep_warp
+from ..ops.volumes import depth_regression, photometric_confidence
+from .api import register_model
+
+
+def _bilinear_half(x: jnp.ndarray) -> jnp.ndarray:
+    """0.5x bilinear downsample (torch interpolate scale_factor=0.5,
+    align_corners=None semantics == half-pixel centers)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h // 2, w // 2, c), method="linear",
+                            antialias=False)
+
+
+def _bicubic_double(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bicubic upsample of [B, H, W] (net.py:169-171)."""
+    b, h, w = x.shape
+    return jax.image.resize(x[..., None], (b, 2 * h, 2 * w, 1),
+                            method="cubic", antialias=False)[..., 0]
+
+
+class FeaturePyramidNet(nn.Module):
+    """Shared per-level feature extractor. Parity: net.py:21-47 (convs have
+    bias + LeakyReLU 0.1, modules.py:24-28)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        chans = [64, 64, 64, 32, 32, 32, 16, 16, 16]
+        names = ["conv0aa", "conv0ba", "conv0bb", "conv0bc", "conv0bd",
+                 "conv0be", "conv0bf", "conv0bg", "conv0bh"]
+        for ch, name in zip(chans, names):
+            x = TorchConv(ch, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                          name=name)(x)
+            x = nn.leaky_relu(x, negative_slope=0.1)
+        return x
+
+
+class CVPCostRegNet(nn.Module):
+    """Shared 3D regularizer. Parity: net.py:50-85 (single stride-2 level,
+    stride-1 transposed conv back up)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0")(x, train)
+        c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0a")(c0, train)
+        x1 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv1")(c0, train)
+        x1 = ConvBnReLU(32, dtype=self.dtype, name="conv2")(x1, train)
+        c2 = ConvBnReLU(32, dtype=self.dtype, name="conv2a")(x1, train)
+        x2 = ConvBnReLU(64, dtype=self.dtype, name="conv3")(c2, train)
+        x2 = ConvBnReLU(64, dtype=self.dtype, name="conv4")(x2, train)
+        c4 = ConvBnReLU(64, dtype=self.dtype, name="conv4a")(x2, train)
+        c5 = c2 + ConvTransposeBnReLU(32, 3, 1, 1, 0, dtype=self.dtype,
+                                      name="conv5")(c4, train)
+        c6 = c0 + ConvTransposeBnReLU(16, 3, 2, 1, 1, dtype=self.dtype,
+                                      name="conv6")(c5, train)
+        return TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                         name="prob0")(c6)[..., 0]
+
+
+def cal_depth_hypo(ref_depth, K_ref, K_src, R_ref, t_ref, R_src, t_src,
+                   depth_min, depth_max, d: int = 4,
+                   pixel_interval: float = 1.0):
+    """Per-level eval-time hypothesis maps: the depth change that moves the
+    first source view's projection by one pixel along the epipolar line,
+    median-reduced to a scalar per batch item.
+
+    Parity: modules.py:131-226 (incl. the repo's degenerate-point guard and
+    median reduction); computed in f32 instead of f64 — the median over all
+    pixels absorbs the precision difference.
+
+    Args:
+      ref_depth: [B, H, W] upsampled previous-level depth.
+      K_ref/K_src: [B, 3, 3] level-scaled intrinsics (src = first source).
+      R_*, t_*: [B, 3, 3] / [B, 3, 1].
+    Returns:
+      [B, 2d, H, W] hypothesis maps.
+    """
+    b, h, w = ref_depth.shape
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=ref_depth.dtype),
+                          jnp.arange(w, dtype=ref_depth.dtype), indexing="ij")
+    X = jnp.stack([xs, ys, jnp.ones_like(xs)], -1)  # [H, W, 3]
+
+    def one(depth_b, K_r, K_s, R_r, t_r, R_s, t_s, dmin, dmax):
+        Kr_inv = jnp.linalg.inv(K_r)
+        D1 = depth_b
+        D2 = D1 + 1.0
+        ray = X @ Kr_inv.T                     # [H, W, 3]
+        # world = R_r^T (cam - t_r); then into the src camera
+        cam1 = ray * D1[..., None]
+        cam2 = ray * D2[..., None]
+        w1 = (cam1 - t_r[:, 0]) @ R_r                  # == R_r^T @ (cam - t)
+        w2 = (cam2 - t_r[:, 0]) @ R_r
+        # into src camera
+        s1 = w1 @ R_s.T + t_s[:, 0]
+        s2 = w2 @ R_s.T + t_s[:, 0]
+        X1 = s1 @ K_s.T
+        X2 = s2 @ K_s.T
+        X1_d = X1[..., 2]
+        X2_d = X2[..., 2]
+        X1n = X1 / X1_d[..., None]
+        X2n = X2 / X2_d[..., None]
+        dir_vec = X2n - X1n
+        norm_dir = jnp.linalg.norm(dir_vec, axis=-1)
+        dir_unit = dir_vec / jnp.maximum(norm_dir, 1e-8)[..., None]
+        X3 = X1n + pixel_interval * dir_unit
+
+        A = K_r @ R_r @ jnp.linalg.inv(K_s @ R_s)
+        tmp1 = X1_d[..., None] * (X1n @ A.T)          # [H, W, 3]
+        tmp2 = X3 @ A.T                                # [H, W, 3]
+        # 2x2 system on rows 1: [X[1:], tmp2[1:]] delta = tmp1[1:]
+        M1 = jnp.stack([X[..., 1:], tmp2[..., 1:]], axis=-1)  # [H, W, 2, 2]
+        M2 = tmp1[..., 1:]                             # [H, W, 2]
+        det = (M1[..., 0, 0] * M1[..., 1, 1] - M1[..., 0, 1] * M1[..., 1, 0])
+        valid = ((norm_dir > 1e-8) & (X1_d > 1e-8) & (X2_d > 1e-8)
+                 & (jnp.abs(det) > 1e-8))
+        safe_det = jnp.where(jnp.abs(det) > 1e-8, det, 1.0)
+        # Cramer for the first unknown
+        delta_d = (M2[..., 0] * M1[..., 1, 1] - M1[..., 0, 1] * M2[..., 1]) \
+            / safe_det
+        abs_dd = jnp.abs(delta_d)
+        # median over valid pixels (invalids pushed to +inf, median index
+        # adjusted by the invalid count)
+        flat = jnp.where(valid, abs_dd, jnp.inf).reshape(-1)
+        order = jnp.sort(flat)
+        nvalid = jnp.sum(valid)
+        med = jnp.where(
+            nvalid > 0,
+            order[jnp.clip((nvalid - 1) // 2, 0, flat.size - 1)],
+            (dmax - dmin) / 128.0)
+        levels = jnp.arange(-d, d, dtype=depth_b.dtype).reshape(2 * d, 1, 1)
+        return depth_b[None] + levels * med
+
+    return jax.vmap(one)(ref_depth, K_ref, K_src, R_ref, t_ref, R_src, t_src,
+                         depth_min, depth_max)
+
+
+@register_model("cvp_mvsnet")
+class CVPMVSNet(nn.Module):
+    """CVP-MVSNet frontend with the uniform model contract.
+    Parity: frontend.py:10-38 + net.py:88-229."""
+    nscale: int = 2            # train default (net.py:94); eval 4/5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, K, R, t, depth_min, depth_max,
+                 reference_frame: int = 0, train: bool = False, **kwargs):
+        nscale = int(kwargs.get("nscale", self.nscale))
+        b, n, h, w, c = imgs.shape
+        ref = reference_frame
+        order = [ref] + [i for i in range(n) if i != ref]
+        nsrc = n - 1
+        dmin = depth_min[:, ref]
+        dmax = depth_max[:, ref]
+
+        fp_net = FeaturePyramidNet(dtype=self.dtype, name="feature_pyramid")
+        reg_net = CVPCostRegNet(dtype=self.dtype, name="cost_reg_refine")
+
+        # image pyramid + per-level features, all views in one batched call
+        level_imgs = [imgs.reshape(b * n, h, w, c)]
+        for _ in range(nscale - 1):
+            level_imgs.append(_bilinear_half(level_imgs[-1]))
+        feats = []
+        for li in level_imgs:
+            f = fp_net(li)
+            fh, fw = f.shape[1:3]
+            f = f.reshape(b, n, fh, fw, -1)[:, jnp.array(order)]
+            feats.append(f)
+
+        Ko = K[:, jnp.array(order)]
+        Ro = R[:, jnp.array(order)]
+        to = t[:, jnp.array(order)]
+
+        def level_proj(level):
+            ratio = level_imgs[level].shape[1] / h
+            Ks = scale_K(Ko, ratio)
+            from ..geometry.projective import build_proj_matrices
+            return build_proj_matrices(Ks, Ro, to)  # [B, N, 4, 4]
+
+        # ---- coarsest level: full sweep ----
+        nhyp = 48 if train else 96
+        interval = (dmax - dmin) / nhyp  # (max-min)/D (modules.py:58)
+        steps = jnp.arange(nhyp, dtype=imgs.dtype)
+        depth_hypos = dmin[:, None] + steps * interval[:, None]  # [B, D]
+
+        proj = level_proj(nscale - 1)
+        fcoarse = feats[nscale - 1]
+        fh, fw = fcoarse.shape[2:4]
+        warp_fns = [
+            (lambda i=i: plane_sweep_warp(fcoarse[:, i], proj[:, i],
+                                          proj[:, 0], depth_hypos, (fh, fw)))
+            for i in range(1, n)
+        ]
+        from ..ops.volumes import variance_cost_volume
+        cost = variance_cost_volume(fcoarse[:, 0], warp_fns=warp_fns,
+                                    num_depth=nhyp)
+        prob = nn.softmax(reg_net(cost, train), axis=1)
+        depth = depth_regression(prob, depth_hypos)
+        depth_est_list = [depth]
+
+        # ---- refinement levels ----
+        for id_level, level in enumerate(range(nscale - 2, -1, -1)):
+            depth_up = _bicubic_double(depth)
+            fh, fw = feats[level].shape[2:4]
+            if train:
+                # fixed halved intervals (net.py:177-182)
+                isz = ((dmax - dmin) / 48.0 / (2.0 ** (id_level + 1)))
+                offs = jnp.arange(-4, 4, dtype=imgs.dtype).reshape(1, 8, 1, 1)
+                hyp = depth_up[:, None] + offs * isz[:, None, None, None]
+            else:
+                ratio = level_imgs[level].shape[1] / h
+                Ks = scale_K(Ko, ratio)
+                hyp = cal_depth_hypo(depth_up, Ks[:, 0], Ks[:, 1],
+                                     Ro[:, 0], to[:, 0], Ro[:, 1], to[:, 1],
+                                     dmin, dmax)
+            proj = level_proj(level)
+            flevel = feats[level]
+            warp_fns = [
+                (lambda i=i: plane_sweep_warp(flevel[:, i], proj[:, i],
+                                              proj[:, 0], hyp, (fh, fw)))
+                for i in range(1, n)
+            ]
+            cost = variance_cost_volume(flevel[:, 0], warp_fns=warp_fns,
+                                        num_depth=hyp.shape[1])
+            prob = nn.softmax(reg_net(cost, train), axis=1)
+            depth = depth_regression(prob, hyp)
+            depth_est_list.append(depth)
+
+        confidence = photometric_confidence(jax.lax.stop_gradient(prob))
+        depth_est_list.reverse()  # finest first (net.py:225)
+        return {
+            "depth": depth_est_list[0],
+            "depth_est_list": depth_est_list,
+            "depth_pair_list": [],
+            "photometric_confidence": confidence,
+        }

@@ -1,0 +1,221 @@
+"""Vis-MVSNet — 3-stage coarse-to-fine cascade with per-pair visibility-
+weighted fusion.
+
+Parity: models/VisMVSNet/ (model_cas.py, frontend.py, nn_utils.py,
+homography.py). Structure:
+  FeatExt: stride-2 init conv + 3-scale UNet -> 32-ch features at 1/8, 1/4,
+    1/2 resolution (model_cas.py:18-35)
+  per stage (SingleStage, model_cas.py:166-420): per source view a
+    groupwise-correlation cost volume (8 groups) over a homography sweep,
+    regularized by a small 3D UNet (`Reg`); `RegPair` scores it to a per-pair
+    depth + entropy -> `UncertNet` uncertainty; volumes fused with weights
+    exp(-uncert) ('soft' mode) and re-regularized (`RegFuse`) -> stage depth
+    via windowed soft-argmin (window=2)
+  cascade (frontend.py:26-109): stage 1 sweeps depth_nums[0] hypotheses of
+    width interval*interval_scales[0] from depth_min; stages 2-3 re-center a
+    per-pixel slab around the upsampled previous depth.
+
+Faithfully reproduced quirks:
+  * slab re-centering uses the MODULE's interval_scales even when the sweep
+    interval is overridden by kwargs (frontend.py:76-78 uses
+    self.interval_scales, not the override)
+  * the train-time trainer.test override passes `scales=` which the frontend
+    ignores (models/trainer.py:294 vs frontend.py:33-41) — callers here must
+    pass `interval_scales=` to actually override, as the eval pipeline does
+    by setting the attributes (pipeline_utils.py:142-144)
+  * UncertNet adds its 1-channel input to its 8-channel features by
+    broadcast (model_cas.py:96)
+
+TPU-first: all views featurized in one batched call; channels-last; the
+homography sweep uses the A - B/d decomposition (ops/plane_sweep.py).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..losses.supervised import resize_bilinear
+from ..nn.blocks import ConvBnReLU, TorchConv, UNet
+from ..ops.plane_sweep import homography_sweep_warp
+from ..ops.volumes import entropy, groupwise_correlation, soft_argmin
+from .api import register_model
+
+
+class FeatExt(nn.Module):
+    """Shared multi-scale feature extractor. Parity: model_cas.py:18-35."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBnReLU(16, 5, 2, 2, dtype=self.dtype, name="init_conv")(x, train)
+        f8, f4, f2 = UNet(enc_blocks_per_stage=2, dec_blocks_per_stage=1,
+                          filters=(32, 64, 128), dtype=self.dtype,
+                          name="unet")(x, train, multi_scale=3)
+        out1 = TorchConv(32, 3, 1, 1, dtype=self.dtype, name="final_conv_1")(f8)
+        out2 = TorchConv(32, 3, 1, 1, dtype=self.dtype, name="final_conv_2")(f4)
+        out3 = TorchConv(32, 3, 1, 1, dtype=self.dtype, name="final_conv_3")(f2)
+        return out1, out2, out3  # 1/8, 1/4, 1/2 resolution
+
+
+class Reg(nn.Module):
+    """Per-pair 3D regularizer (8 -> 8 ch). Parity: model_cas.py:38-48."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return UNet(enc_blocks_per_stage=1, dec_blocks_per_stage=0,
+                    filters=(8, 16), dtype=self.dtype, name="unet")(x, train)
+
+
+class RegFuse(nn.Module):
+    """Fused-volume regularizer + scorer. Parity: model_cas.py:62-74."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = UNet(enc_blocks_per_stage=1, dec_blocks_per_stage=0,
+                 filters=(8, 16), dtype=self.dtype, name="unet")(x, train)
+        return TorchConv(1, 3, 1, 1, dtype=self.dtype, name="final_conv")(x)
+
+
+class UncertNet(nn.Module):
+    """Entropy -> uncertainty head. Parity: model_cas.py:77-98."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out = ConvBnReLU(8, 3, 1, 1, dtype=self.dtype, name="conv1")(x, train)
+        out = ConvBnReLU(8, 3, 1, 1, dtype=self.dtype, name="conv2")(out, train)
+        out = out + x  # 1-channel input broadcasts over the 8 channels
+        return TorchConv(1, 3, 1, 1, dtype=self.dtype, name="head0")(out)
+
+
+class SingleStage(nn.Module):
+    """One cascade stage with soft visibility fusion.
+    Parity: model_cas.py:166-420 (forward, mode='soft')."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref_feat, srcs_feat, cams, depth_num: int,
+                 depth_start, depth_interval, s_scale: int,
+                 train: bool = False):
+        """cams: dict with K/R/t of shape [B, N, ...], view 0 = reference;
+        K is at full input resolution and scaled by 1/s_scale here
+        (parity: model_cas.py:177 scale_camera)."""
+        from ..geometry.projective import scale_K
+        K = scale_K(cams["K"], 1.0 / s_scale)
+        R, t = cams["R"], cams["t"]
+        b, h, w, c = ref_feat.shape
+        n_src = len(srcs_feat)
+
+        reg = Reg(dtype=self.dtype, name="reg")
+        reg_pair = TorchConv(1, 3, 1, 1, dtype=self.dtype, name="reg_pair")
+        uncert_net = UncertNet(dtype=self.dtype, name="uncert_net")
+
+        pair_results = []
+        weight_sum = jnp.zeros((b, 1, h, w, 1), ref_feat.dtype)
+        fused = jnp.zeros((b, depth_num, h, w, 8), ref_feat.dtype)
+        ref_vol = ref_feat[:, None]  # [B, 1, H, W, C]
+
+        for i in range(n_src):
+            warped = homography_sweep_warp(
+                srcs_feat[i], K[:, 0], R[:, 0], t[:, 0],
+                K[:, i + 1], R[:, i + 1], t[:, i + 1],
+                depth_num, depth_start, depth_interval, (h, w))
+            cost = groupwise_correlation(
+                jnp.broadcast_to(ref_vol, warped.shape), warped, 8)
+            interm = reg(cost, train)                      # [B, D, H, W, 8]
+            score = reg_pair(interm)[..., 0]               # [B, D, H, W]
+            prob, est_class = soft_argmin(score)
+            # est_class [B,H,W]; interval [B,1,1,1] and start [B,1,*,*]
+            # broadcast (per-pixel slab in stages 2-3)
+            est_depth = est_class * depth_interval[:, 0] + depth_start[:, 0]
+            ent = entropy(prob, axis=1, keepdims=False)[:, :, :, None]
+            uncert = uncert_net(ent, train)[..., 0]        # [B, H, W]
+            pair_results.append((est_depth, (uncert,)))
+            weight = jnp.exp(-uncert)[:, None, :, :, None]  # [B,1,H,W,1]
+            weight_sum = weight_sum + weight
+            fused = fused + interm * weight
+
+        fused = fused / weight_sum
+        score = RegFuse(dtype=self.dtype, name="reg_fuse")(fused, train)[..., 0]
+        prob, est_class, prob_map = soft_argmin(score, window=2)
+        est_depth = est_class * depth_interval[:, 0] + depth_start[:, 0]
+        return est_depth, prob_map, pair_results
+
+
+@register_model("vis_mvsnet")
+class VisMVSNet(nn.Module):
+    """Vis-MVSNet frontend with the uniform model contract.
+    Parity: frontend.py:26-109 (+ eval attribute overrides,
+    pipeline_utils.py:142-144 expressed as constructor fields)."""
+    depth_nums: Sequence[int] = (32, 16, 8)
+    interval_scales: Sequence[float] = (4.0, 2.0, 1.0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, imgs, K, R, t, depth_min, depth_max,
+                 reference_frame: int = 0, train: bool = False, **kwargs):
+        depth_nums = tuple(kwargs.get("depth_nums", self.depth_nums))
+        interval_scales = tuple(kwargs.get("interval_scales",
+                                           self.interval_scales))
+        b, n, h, w, c = imgs.shape
+        ref = reference_frame
+        order = [ref] + [i for i in range(n) if i != ref]
+        # depth interval over 128 steps of the REference view (frontend.py:27)
+        depth_interval = ((depth_max - depth_min) / 128.0)[:, ref]
+        d_start0 = depth_min[:, ref].reshape(b, 1, 1, 1)
+        d_interval = depth_interval.reshape(b, 1, 1, 1)
+
+        feats = FeatExt(dtype=self.dtype, name="feat_ext")(
+            imgs.reshape(b * n, h, w, c), train)
+        # reorder views so index 0 is the reference
+        feats = [f.reshape((b, n) + f.shape[1:])[:, jnp.array(order)]
+                 for f in feats]
+        cams = {"K": K[:, jnp.array(order)], "R": R[:, jnp.array(order)],
+                "t": t[:, jnp.array(order)]}
+
+        def stage_feats(level):
+            f = feats[level]
+            return f[:, 0], [f[:, i] for i in range(1, n)]
+
+        # ---- stage 1 (1/8) ----
+        ref1, srcs1 = stage_feats(0)
+        est1, prob1, pairs1 = SingleStage(dtype=self.dtype, name="stage1")(
+            ref1, srcs1, cams, depth_nums[0], d_start0,
+            d_interval * interval_scales[0], 8, train)
+        prob1_up = resize_bilinear(prob1, (prob1.shape[1] * 4,
+                                           prob1.shape[2] * 4))
+
+        # ---- stage 2 (1/4) ----
+        ref2, srcs2 = stage_feats(1)
+        up1 = resize_bilinear(jax.lax.stop_gradient(est1), ref2.shape[1:3])
+        # NOTE: centering uses self.interval_scales (frontend.py:76-78 quirk)
+        d_start2 = (up1 - depth_nums[1] * depth_interval[:, None, None]
+                    * self.interval_scales[1] / 2.0)[:, None]  # [B,1,H,W]
+        est2, prob2, pairs2 = SingleStage(dtype=self.dtype, name="stage2")(
+            ref2, srcs2, cams, depth_nums[1], d_start2,
+            d_interval * interval_scales[1], 4, train)
+        prob2_up = resize_bilinear(prob2, (prob2.shape[1] * 2,
+                                           prob2.shape[2] * 2))
+
+        # ---- stage 3 (1/2) ----
+        ref3, srcs3 = stage_feats(2)
+        up2 = resize_bilinear(jax.lax.stop_gradient(est2), ref3.shape[1:3])
+        d_start3 = (up2 - depth_nums[2] * depth_interval[:, None, None]
+                    * self.interval_scales[2] / 2.0)[:, None]
+        est3, prob3, pairs3 = SingleStage(dtype=self.dtype, name="stage3")(
+            ref3, srcs3, cams, depth_nums[2], d_start3,
+            d_interval * interval_scales[2], 2, train)
+
+        return {
+            "depth": est3,
+            # finest-first (frontend.py:100-102)
+            "depth_est_list": [est3, est2, est1],
+            "depth_pair_list": [pairs3, pairs2, pairs1],
+            "photometric_confidence": jnp.stack([prob1_up, prob2_up, prob3],
+                                                axis=1),
+        }

@@ -185,17 +185,47 @@ def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
                           ref_hw: tuple[int, int] | None = None) -> jnp.ndarray:
     """Vis-MVSNet cost-volume warp: [B, D, H, W, C] via per-depth homographies.
 
-    Parity: models/VisMVSNet/model_cas.py:176-187 (`build_cost_volume`).
-    depth_start may be [B,1,1,1] or a per-pixel [B,1,H,W] map (stages 2-3).
+    Parity: models/VisMVSNet/model_cas.py:176-187 (`build_cost_volume`) +
+    homography.py:23-121. depth_start may be [B,1,1,1] or a per-pixel
+    [B,1,H,W] map (cascade stages 2-3 re-center the slab per pixel).
+
+    TPU-first decomposition: the plane-induced homography is H(d) = A - B/d
+    with A = K_src R_src R_ref^T K_ref^-1 and B = K_src R_src c_rel f^T
+    R_ref^T K_ref^-1 (f = ref fronto direction), so the warped coordinate of
+    pixel p at depth d is (A p) - (B p)/d — two [B,H,W,3] tensors instead of
+    [B,D,H,W,3,3] homography stacks, with the per-depth work a cheap fused
+    elementwise op.
     """
     if ref_hw is None:
         ref_hw = src.shape[1:3]
-    Hs = get_homographies(K_ref, R_ref, t_ref, K_src, R_src, t_src,
-                          depth_num, depth_start, depth_interval)
-    # Hs: [B, D, H', W', 3, 3] with H' in {1, H}
-    def per_depth(Hd):
-        # Hd: [B, H', W', 3, 3]
-        if Hd.shape[1] == 1 and Hd.shape[2] == 1:
-            return homography_warp(src, Hd[:, 0, 0], ref_hw)
-        return homography_warp(src, Hd, ref_hw)
-    return jax.vmap(per_depth, in_axes=1, out_axes=1)(Hs)
+    rh, rw = ref_hw
+    sh, sw = src.shape[1:3]
+    dtype = src.dtype
+    d = depth_num
+
+    K_ref_inv = jnp.linalg.inv(K_ref)
+    R_ref_T = jnp.swapaxes(R_ref, -1, -2)
+    fronto = R_ref[:, 2:3, :]                       # [B, 1, 3]
+    c_rel = (-jnp.swapaxes(R_src, -1, -2) @ t_src) - (-R_ref_T @ t_ref)
+    M = K_src @ R_src                               # [B, 3, 3]
+    A = M @ R_ref_T @ K_ref_inv                     # [B, 3, 3]
+    Bm = M @ (c_rel @ fronto) @ R_ref_T @ K_ref_inv  # [B, 3, 3]
+
+    grid = pixel_grid(rh, rw, dtype, offset=0.5)    # homography.py:77-82
+    hom = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)
+    Ap = jnp.einsum("bij,hwj->bhwi", A, hom)        # [B, H, W, 3]
+    Bp = jnp.einsum("bij,hwj->bhwi", Bm, hom)       # [B, H, W, 3]
+
+    steps = jnp.arange(d, dtype=dtype).reshape(1, d, 1, 1)
+    depth = depth_start + depth_interval * steps    # [B, D, H', W'] (H' in {1,H})
+    depth = jnp.broadcast_to(depth, (src.shape[0], d, rh, rw))
+
+    warped = Ap[:, None] - Bp[:, None] / (depth[..., None] + 1e-9)
+    z = warped[..., 2]
+    xy = warped[..., :2] / jnp.maximum(z, 1e-9)[..., None]
+    xy = jnp.where((z > 0)[..., None], xy, -10.0)   # homography.py:113-118
+    xn = xy[..., 0] / sw * 2.0 - 1.0                # interpolate() convention
+    yn = xy[..., 1] / sh * 2.0 - 1.0
+    grid_n = jnp.clip(jnp.stack([xn, yn], -1), -1.1, 1.1)
+    return jax.vmap(lambda im, g: grid_sample(im, g, align_corners=True))(
+        src, grid_n)

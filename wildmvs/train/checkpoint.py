@@ -1,0 +1,78 @@
+"""Checkpoint save/resume — orbax with self-describing metadata.
+
+Parity: train.py:202-210 (save {epoch, model, optimizer, architecture} every
+save_freq epochs), :149-164 (resume from the highest-numbered checkpoint /
+warm-start from an explicit one), evaluation/pipeline_utils.py:114-131 (eval
+loads the latest checkpoint and reads the architecture string from it).
+"""
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_CKPT_RE = re.compile(r"model_(\d+)$")
+
+
+def save_checkpoint(logdir: str | Path, epoch: int, state, architecture: str,
+                    extra_meta: Optional[dict] = None) -> Path:
+    """Write `model_{epoch:06d}/` (orbax pytree) + metadata.json."""
+    logdir = Path(logdir)
+    logdir.mkdir(parents=True, exist_ok=True)
+    path = (logdir / f"model_{epoch:06d}").resolve()
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step}
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    meta = {"epoch": epoch, "architecture": architecture}
+    meta.update(extra_meta or {})
+    (path / "metadata.json").write_text(json.dumps(meta))
+    return path
+
+
+def latest_checkpoint(logdir: str | Path) -> Optional[Path]:
+    """Highest-numbered model_* dir. Parity: train.py:151-155."""
+    logdir = Path(logdir)
+    if not logdir.exists():
+        return None
+    cands = [(int(m.group(1)), p) for p in logdir.iterdir()
+             if (m := _CKPT_RE.match(p.name)) and p.is_dir()]
+    if not cands:
+        return None
+    return max(cands)[1]
+
+
+def load_metadata(path: str | Path) -> dict:
+    return json.loads((Path(path) / "metadata.json").read_text())
+
+
+def restore_checkpoint(path: str | Path, state):
+    """Restore a TrainState's arrays from `path` (structure from `state`)."""
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+    template = jax.tree.map(np.asarray, template)
+    tree = ckptr.restore(Path(path).resolve(), template)
+    return state.replace(params=tree["params"],
+                         batch_stats=tree["batch_stats"],
+                         opt_state=tree["opt_state"], step=tree["step"])
+
+
+def restore_params(path: str | Path, params_template, batch_stats_template):
+    """Restore only model variables (eval-time warm start;
+    parity train.py:160-164 --loadckpt)."""
+    ckptr = ocp.StandardCheckpointer()
+    meta = load_metadata(path)
+    template = {"params": jax.tree.map(np.asarray, params_template),
+                "batch_stats": jax.tree.map(np.asarray, batch_stats_template)}
+    # restore only the model subtree (partial restore)
+    restored = ckptr.restore(
+        Path(path).resolve(),
+        ocp.args.StandardRestore(template, partial_restore=True))
+    return restored["params"], restored["batch_stats"], meta
