@@ -1,0 +1,117 @@
+"""Reconstruction pipeline tests on the synthetic scene (exact GT depths)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from wildmvs.data.synthetic import SyntheticSceneDataset
+from wildmvs.pipeline.filtering import geometric_filter
+from wildmvs.pipeline.fusion import fuse_depthmaps
+from wildmvs.pipeline.depthmaps import get_mask_invalid
+from wildmvs.pipeline import metrics3d
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return SyntheticSceneDataset(num_views=4, height=48, width=64, seed=3)
+
+
+def _cams(scene):
+    s0 = scene[0]
+    # dataset stores per-view K/R/t in original order inside the object
+    return scene.K, scene.R, scene.t
+
+
+def test_geometric_filter_accepts_gt(scene):
+    s = scene[0]
+    ref_depth = scene.depths[0]
+    src_depths = np.stack([scene.depths[i] for i in range(1, 4)])
+    masks = geometric_filter(jnp.asarray(ref_depth), jnp.asarray(src_depths),
+                             jnp.asarray(s["K"]), jnp.asarray(s["R"]),
+                             jnp.asarray(s["t"]), num_consistent=3,
+                             min_tri_angle=0.0)
+    geo = np.asarray(masks["geo_mask"])
+    # GT depths are perfectly consistent: interior pixels must pass
+    assert geo[8:-8, 8:-8].mean() > 0.95
+
+
+def test_geometric_filter_rejects_corrupted(scene):
+    s = scene[0]
+    ref_depth = scene.depths[0] * 1.5  # inconsistent with the sources
+    src_depths = np.stack([scene.depths[i] for i in range(1, 4)])
+    masks = geometric_filter(jnp.asarray(ref_depth), jnp.asarray(src_depths),
+                             jnp.asarray(s["K"]), jnp.asarray(s["R"]),
+                             jnp.asarray(s["t"]), num_consistent=3,
+                             min_tri_angle=0.0)
+    assert np.asarray(masks["geo_mask"]).mean() < 0.05
+
+
+def test_fusion_gt_depths_reconstruct_plane(scene):
+    K, R, t = _cams(scene)
+    depths = np.stack(scene.depths)
+    colors = scene.imgs
+    points, cols = fuse_depthmaps(depths, K, R, t, colors=colors,
+                                  disp_threshold=0.01, num_consistent=3)
+    assert points.shape[0] > 500
+    assert cols.shape == points.shape
+    # all points must lie on the scene plane z = z0 + a x + b y; fit a plane
+    # and check residuals are tiny
+    A = np.concatenate([points[:, :2], np.ones((len(points), 1))], axis=1)
+    coef, res, *_ = np.linalg.lstsq(A, points[:, 2], rcond=None)
+    pred_z = A @ coef
+    rms = np.sqrt(np.mean((points[:, 2] - pred_z) ** 2))
+    assert rms < 0.01, rms
+
+
+def test_fusion_rejects_inconsistent_view(scene):
+    K, R, t = _cams(scene)
+    depths = np.stack(scene.depths)
+    # corrupt every view differently: no two views agree anywhere, so
+    # num_consistent=3 (>= 2 agreeing sources) is unreachable
+    for i in range(len(depths)):
+        depths[i] *= (1.5 + 0.3 * i)
+    points, _ = fuse_depthmaps(depths, K, R, t, num_consistent=3)
+    assert points.shape[0] == 0
+
+
+def test_get_mask_invalid_multistage():
+    prob = np.zeros((3, 4, 4), np.float32)
+    prob[1, 0, 0] = 0.9  # one stage confident at one pixel
+    inv = get_mask_invalid(prob, 0.8)
+    assert not inv[0, 0]
+    assert inv[1:, :].all()
+    geo = np.zeros((4, 4), bool)
+    inv2 = get_mask_invalid(prob, 0.8, geo_mask=geo)
+    assert inv2.all()  # geometry vetoes everything
+
+
+def test_reduce_pts_dedup():
+    pts = np.array([[0, 0, 0], [0.05, 0, 0], [1, 0, 0], [1.04, 0, 0],
+                    [5, 5, 5]], np.float64)
+    reduced, keep = metrics3d.reduce_pts(pts, 0.1)
+    assert reduced.shape[0] == 3  # two clusters + isolated point
+    reduced_c, _ = metrics3d.reduce_pts(pts, 0.1, chunked=True)
+    assert reduced_c.shape[0] == 3
+
+
+def test_chamfer_cells_matches_direct(rng):
+    a = rng.random((300, 3)) * 50
+    b = rng.random((200, 3)) * 50
+    bb = np.array([[0.0, 0, 0], [50.0, 50, 50]])
+    d1 = metrics3d.chamfer_cells(a, b, bb, maxdist=60.0)
+    d2 = np.minimum(metrics3d.chamfer_nn(a, b), 60.0)
+    np.testing.assert_allclose(d1, d2, atol=1e-9)
+
+
+def test_eval_dtu_protocol_synthetic(rng):
+    # pred == gt on a grid -> accuracy ~ 0 within the ObsMask
+    g = np.stack(np.meshgrid(np.linspace(0, 9, 10), np.linspace(0, 9, 10),
+                             [5.0]), -1).reshape(-1, 3)
+    mask = np.ones((20, 20, 20), bool)
+    bb = np.array([[-1.0, -1, -1], [10.0, 10, 10]])
+    plane = np.array([0, 0, 1.0, -1.0])  # z > 1 is "above"
+    raw = metrics3d.eval_dtu(g.copy(), g.copy(), mask, bb, 1.0, plane,
+                             dedup_radius=0.01)
+    s = metrics3d.summarize_dtu(raw)
+    assert s["accuracy_mean"] < 1e-9
+    assert s["completeness_mean"] < 1e-9
+    assert raw["abovePlane"].all()

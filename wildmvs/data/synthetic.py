@@ -116,3 +116,60 @@ def collate(samples: list) -> dict:
         else:
             out[key] = np.stack([s[key] for s in samples])
     return out
+
+
+class SyntheticSceneDataset:
+    """One coherent scene rendered from V views; sample i = reference view i
+    with the other views as sources — the eval-dataset contract
+    (data/dtu_yao_eval.py / yfcc_scene.py: imgs, K, R, t, depth_min/max,
+    depth, mask, filename, src_filenames)."""
+
+    def __init__(self, num_views: int = 5, height: int = 64, width: int = 96,
+                 seed: int = 0, z_range: tuple = (2.0, 6.0)):
+        base = SyntheticMVSDataset(num_samples=1, num_views=num_views,
+                                   height=height, width=width, seed=seed,
+                                   z_range=z_range)
+        # re-render with every view as reference to get per-view GT depth
+        self.views = []
+        self.num_views = num_views
+        sample0 = base[0]
+        self.imgs = sample0["imgs"]
+        self.K, self.R, self.t = sample0["K"], sample0["R"], sample0["t"]
+        self.z_range = z_range
+        # per-view GT depth: intersect each view's rays with the same plane
+        rng = np.random.default_rng(seed * 100003)
+        z0 = rng.uniform(z_range[0] + 1.0, z_range[1] - 1.0)
+        a, b = rng.uniform(-0.15, 0.15, 2)
+        h, w = self.imgs.shape[1:3]
+        ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                             np.arange(w, dtype=np.float32), indexing="ij")
+        pix = np.stack([xs, ys, np.ones_like(xs)], -1)
+        self.depths = []
+        for i in range(num_views):
+            rays_cam = pix @ np.linalg.inv(self.K[i]).T
+            rays_world = rays_cam @ self.R[i]
+            center = (-self.R[i].T @ self.t[i])[:, 0]
+            denom = (rays_world[..., 2] - a * rays_world[..., 0]
+                     - b * rays_world[..., 1])
+            num = z0 + a * center[0] + b * center[1] - center[2]
+            lam = num / np.where(np.abs(denom) < 1e-6, 1e-6, denom)
+            pts = center + rays_world * lam[..., None]
+            cam_pts = pts @ self.R[i].T + self.t[i][:, 0]
+            self.depths.append(cam_pts[..., 2].astype(np.float32))
+
+    def __len__(self):
+        return self.num_views
+
+    def __getitem__(self, idx: int) -> dict:
+        order = [idx] + [i for i in range(self.num_views) if i != idx]
+        depth = self.depths[idx]
+        mask = ((depth >= self.z_range[0]) & (depth <= self.z_range[1]))
+        return {
+            "imgs": self.imgs[order],
+            "K": self.K[order], "R": self.R[order], "t": self.t[order],
+            "depth_min": np.full((self.num_views,), self.z_range[0], np.float32),
+            "depth_max": np.full((self.num_views,), self.z_range[1], np.float32),
+            "depth": depth, "mask": mask.astype(np.float32),
+            "filename": f"view_{idx:04d}",
+            "src_filenames": [f"view_{i:04d}" for i in order[1:]],
+        }

@@ -1,0 +1,99 @@
+"""Stage 1 — depthmap inference over an eval dataset, with idempotent
+file-based caching.
+
+Parity: evaluation/run_depthmaps.py:27-74 (npz {depthmap, probability} per
+reference view, finished.txt sentinel, per-file existence checks) and
+evaluation/pipeline_utils.py:88-111 (`get_mask` probability/geometry gate).
+
+TPU-first: the forward is jitted once per (architecture, resolution) and
+reference views stream through it; across hosts the view list is sharded by
+process index (embarrassingly parallel; each host owns view i where
+i % num_hosts == host).
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def eval_model_kwargs(architecture: str) -> dict:
+    """Eval-time model construction overrides + input downscale.
+    Parity: evaluation/pipeline_utils.py:131-154 (load_network)."""
+    if architecture == "cvp_mvsnet":
+        return {"kwargs": {}, "downscale": 1}
+    if architecture == "vis_mvsnet":
+        return {"kwargs": {"depth_nums": (64, 32, 16),
+                           "interval_scales": (2.0, 1.0, 0.5)},
+                "downscale": 2}
+    return {"kwargs": {}, "downscale": 4}
+
+
+def eval_forward_fn(model, variables):
+    """Jitted eval forward returning (depth, probability)."""
+
+    @jax.jit
+    def fwd(imgs, K, R, t, depth_min, depth_max):
+        out = model.apply(variables, imgs, K, R, t, depth_min, depth_max,
+                          train=False)
+        return out["depth"], out["photometric_confidence"]
+
+    return fwd
+
+
+def run_depthmaps(dataset, model, variables, out_dir: Path,
+                  override: bool = False, debug: bool = False,
+                  process_index: int = 0, process_count: int = 1,
+                  cvp_nscale: int | None = None):
+    """Run inference for every reference view and cache npz outputs.
+
+    `dataset[i]` must yield the eval sample dict (imgs [N,H,W,3], K, R, t,
+    depth_min, depth_max, filename).
+    """
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if (out_dir / "finished.txt").exists() and not override:
+        return
+
+    extra = {} if cvp_nscale is None else {"nscale": cvp_nscale}
+
+    @jax.jit
+    def fwd(imgs, K, R, t, dmin, dmax):
+        out = model.apply(variables, imgs, K, R, t, dmin, dmax, train=False,
+                          **extra)
+        return out["depth"], out["photometric_confidence"]
+
+    for i in range(len(dataset)):
+        if i % process_count != process_index:
+            continue
+        sample = dataset[i]
+        filename = sample["filename"].replace("/", "_")
+        out_file = out_dir / f"{filename}_out.npz"
+        if out_file.exists() and not override:
+            continue
+        args = tuple(jnp.asarray(sample[k])[None] for k in
+                     ("imgs", "K", "R", "t", "depth_min", "depth_max"))
+        depth, prob = fwd(*args)
+        np.savez_compressed(out_file, depthmap=np.asarray(depth[0]),
+                            probability=np.asarray(prob[0]))
+        if debug:
+            return
+    if process_index == 0:
+        (out_dir / "finished.txt").write_text(" ")
+
+
+def get_mask_invalid(prob: np.ndarray, prob_threshold: float = 0.8,
+                     geo_mask: np.ndarray | None = None) -> np.ndarray:
+    """Invalid-pixel mask from probability (+ optional geometric mask).
+    Parity: pipeline_utils.py:88-111 — multi-stage probabilities pass if ANY
+    stage clears the threshold."""
+    if prob.ndim > 2:
+        mask_invalid = (prob < prob_threshold).all(axis=0)
+    else:
+        mask_invalid = prob < prob_threshold
+    if geo_mask is not None:
+        mask_invalid = mask_invalid | ~geo_mask
+    return mask_invalid

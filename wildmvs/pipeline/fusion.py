@@ -1,0 +1,141 @@
+"""Native depthmap fusion — the TPU replacement for the external fusibile
+(CUDA) and COLMAP stereo_fusion (C++) binaries (SURVEY §2.9/2.10).
+
+Algorithm (the Gipuma/fusibile scheme re-designed as per-view device kernels
++ host-side point assembly):
+  for each reference view r (sequential, so duplicate surface points can be
+  suppressed):
+    1. unproject every unused valid pixel to 3D
+    2. project into every other view, sample that view's depthmap
+    3. consistent(i) := |d_projected - d_sampled| < disp_threshold *
+       max(d_projected, d_sampled)  AND the sample lands in-frame with
+       positive depth
+    4. keep pixels with >= num_consistent consistent views; the output point
+       is the average of the reference unprojection and every consistent
+       source unprojection (reduces noise like fusibile's averaging)
+    5. mark the consistent source pixels as used (they described the same
+       surface point)
+
+The per-view step (1-4 + the source-pixel coordinates for 5) is one jitted
+function; the used-mask scatter runs on host numpy (tiny).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.projective import pixel_grid, unproject
+
+
+@functools.partial(jax.jit, static_argnames=("disp_threshold",
+                                             "num_consistent"))
+def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
+                   used: jnp.ndarray, Ks: jnp.ndarray, Rs: jnp.ndarray,
+                   ts: jnp.ndarray, disp_threshold: float = 0.01,
+                   num_consistent: int = 3):
+    """One reference view's fusion step.
+
+    Args:
+      ref_idx: scalar int index of the reference view.
+      depths: [N, H, W] all (masked) depthmaps; 0 = invalid.
+      used: [N, H, W] bool, pixels already consumed by earlier views.
+      Ks, Rs, ts: [N, 3, 3]/[N, 3, 3]/[N, 3, 1].
+    Returns:
+      (points [H*W, 3], keep [H*W] bool,
+       src_px [N, H*W, 2] int32 projected pixel coords,
+       src_consistent [N, H*W] bool).
+    """
+    n, h, w = depths.shape
+    K0 = Ks[ref_idx]
+    R0 = Rs[ref_idx]
+    t0 = ts[ref_idx]
+    ref_depth = depths[ref_idx]
+    ref_used = used[ref_idx]
+
+    grid = pixel_grid(h, w, depths.dtype)
+    pc = unproject(grid, K0, R0, t0, ref_depth)        # [H, W, 3]
+    valid = (ref_depth > 0) & (~ref_used)
+
+    def per_view(i):
+        cam = pc @ Rs[i].T + ts[i][:, 0]
+        pix = cam @ Ks[i].T
+        d_proj = pix[..., 2]
+        proj = pix[..., :2] / jnp.maximum(d_proj, 1e-6)[..., None]
+        ix = jnp.round(proj[..., 0]).astype(jnp.int32)
+        iy = jnp.round(proj[..., 1]).astype(jnp.int32)
+        inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (d_proj > 0)
+        ixc = jnp.clip(ix, 0, w - 1)
+        iyc = jnp.clip(iy, 0, h - 1)
+        d_smp = depths[i][iyc, ixc]
+        consistent = (inb & (d_smp > 0)
+                      & (jnp.abs(d_proj - d_smp)
+                         < disp_threshold * jnp.maximum(d_proj, d_smp))
+                      & ~(i == ref_idx))
+        src_pt = unproject(jnp.stack([ixc, iyc], -1).astype(depths.dtype),
+                           Ks[i], Rs[i], ts[i], d_smp)
+        return consistent, src_pt, jnp.stack([ixc, iyc], -1)
+
+    cons, pts, px = [], [], []
+    for i in range(n):
+        c, p, x = per_view(i)
+        cons.append(c)
+        pts.append(p)
+        px.append(x)
+    consistent = jnp.stack(cons)                       # [N, H, W]
+    src_pts = jnp.stack(pts)                           # [N, H, W, 3]
+    src_px = jnp.stack(px)                             # [N, H, W, 2]
+
+    count = jnp.sum(consistent, axis=0)
+    # num_consistent counts the reference itself, like the in-repo filter
+    # (evaluation/filtering.py:81-83): >= num_consistent - 1 agreeing sources
+    keep = valid & (count >= num_consistent - 1)
+    # averaged 3D point: ref + consistent sources
+    csum = jnp.sum(src_pts * consistent[..., None], axis=0) + pc
+    point = csum / (count[..., None] + 1.0)
+    return (point.reshape(-1, 3), keep.reshape(-1),
+            src_px.reshape(n, -1, 2),
+            (consistent & keep[None]).reshape(n, -1))
+
+
+def fuse_depthmaps(depths: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
+                   ts: np.ndarray, colors: np.ndarray | None = None,
+                   disp_threshold: float = 0.01, num_consistent: int = 3):
+    """Fuse all views' (pre-masked) depthmaps into one point cloud.
+
+    Args:
+      depths: [N, H, W]; invalid pixels must be 0 (prob/geo-masked upstream,
+        parity evaluation/fusibile.py:152-158).
+      Ks, Rs, ts: [N, 3, 3]/[N, 3, 3]/[N, 3, 1].
+      colors: optional [N, H, W, 3] float [0, 1] or uint8.
+    Returns:
+      (points [M, 3] float64, colors [M, 3] uint8 or None).
+    """
+    n, h, w = depths.shape
+    depths_j = jnp.asarray(depths)
+    Ks_j, Rs_j, ts_j = jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(ts)
+    used = np.zeros((n, h, w), bool)
+    all_pts, all_cols = [], []
+    for r in range(n):
+        point, keep, src_px, src_cons = _fuse_one_view(
+            jnp.asarray(r), depths_j, jnp.asarray(used), Ks_j, Rs_j, ts_j,
+            disp_threshold=disp_threshold, num_consistent=num_consistent)
+        keep_np = np.asarray(keep)
+        all_pts.append(np.asarray(point)[keep_np])
+        if colors is not None:
+            col = colors[r].reshape(-1, 3)[keep_np]
+            if col.dtype != np.uint8:
+                col = (np.clip(col, 0, 1) * 255).astype(np.uint8)
+            all_cols.append(col)
+        # mark consumed source pixels
+        src_px_np = np.asarray(src_px)
+        src_cons_np = np.asarray(src_cons)
+        for i in range(n):
+            sel = src_cons_np[i]
+            used[i, src_px_np[i, sel, 1], src_px_np[i, sel, 0]] = True
+    points = np.concatenate(all_pts, axis=0) if all_pts else np.zeros((0, 3))
+    cols = (np.concatenate(all_cols, axis=0) if colors is not None and all_cols
+            else None)
+    return points, cols

@@ -1,0 +1,240 @@
+"""Reconstruction pipeline orchestrator:
+depthmaps -> geometric filtering -> native fusion -> 3D metrics.
+
+Parity: reconstruction_pipeline.py + evaluation/pipeline_utils.py:30-80
+(stage selection, file-based caching between stages), with the external
+fusibile/COLMAP fusion binaries replaced by the native TPU fusion kernel
+(wildmvs/pipeline/fusion.py).
+
+Usage:
+  python -m wildmvs.pipeline.reconstruction --dataset synthetic --debug
+  python -m wildmvs.pipeline.reconstruction --dataset dtu --scene scan1 \
+      --model <logdir> --data_path datasets/dtu_eval
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from ..data.ply import write_ply
+from ..models.api import build_model
+from ..train.checkpoint import latest_checkpoint, load_metadata, restore_params
+from .depthmaps import eval_model_kwargs, get_mask_invalid, run_depthmaps
+from .filtering import geometric_filter
+from .fusion import fuse_depthmaps
+
+
+def load_network(model_dir: str | None, architecture: str | None,
+                 sample, dataset_name: str):
+    """Build + restore the eval network; architecture comes from checkpoint
+    metadata when a model dir is given (parity pipeline_utils.py:114-163)."""
+    import jax.numpy as jnp
+    variables = None
+    if model_dir is not None:
+        ckpt = latest_checkpoint(model_dir) or Path(model_dir)
+        architecture = load_metadata(ckpt)["architecture"]
+    assert architecture is not None
+    cfg = eval_model_kwargs(architecture)
+    kwargs = dict(cfg["kwargs"])
+    model = build_model(architecture, **kwargs)
+    args = tuple(jnp.asarray(sample[k])[None] for k in
+                 ("imgs", "K", "R", "t", "depth_min", "depth_max"))
+    cvp_nscale = None
+    if architecture == "cvp_mvsnet":
+        cvp_nscale = 5 if dataset_name == "dtu" else 4
+    extra = {} if cvp_nscale is None else {"nscale": cvp_nscale}
+    init_vars = model.init(jax.random.PRNGKey(0), *args, train=False, **extra)
+    if model_dir is not None:
+        params, batch_stats, _ = restore_params(
+            ckpt, init_vars["params"], init_vars.get("batch_stats", {}))
+        variables = {"params": params, "batch_stats": batch_stats}
+    else:
+        variables = init_vars
+    return model, variables, architecture, cvp_nscale
+
+
+def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
+                 architecture: str = "mvsnet", dataset_name: str = "synthetic",
+                 scene: str = "scene", do_filter: bool = True,
+                 prob_threshold: float = 0.8, max_reproj_error: float = 1.0,
+                 depth_threshold: float = 0.01, min_tri_angle: float = 1.0,
+                 num_consistent: int = 3, fusion_disp_threshold: float = 0.01,
+                 fusion_num_consistent: int = 3, override: bool = False,
+                 debug: bool = False, compute_metrics: bool = False,
+                 data_path: str | None = None) -> dict:
+    work_dir = Path(work_dir)
+    depth_dir = work_dir / "IntRes" / "depthmaps" / scene
+    filter_dir = work_dir / "IntRes" / "geometric_filtering" / scene
+    points_dir = work_dir / "Points"
+
+    sample0 = dataset[0]
+
+    # ---- stage 1: depthmaps ----
+    if architecture == "oracle":
+        # GT depths as "predictions": validates stages 2-4 independently of
+        # model quality (datasets with per-sample `depth` only)
+        depth_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(len(dataset)):
+            s = dataset[i]
+            name = s["filename"].replace("/", "_")
+            f = depth_dir / f"{name}_out.npz"
+            if not f.exists() or override:
+                np.savez_compressed(f, depthmap=s["depth"],
+                                    probability=np.ones_like(s["depth"]))
+    else:
+        model, variables, architecture, cvp_nscale = load_network(
+            model_dir, architecture, sample0, dataset_name)
+        run_depthmaps(dataset, model, variables, depth_dir, override=override,
+                      debug=debug, cvp_nscale=cvp_nscale)
+
+    # ---- stage 2: geometric filtering ----
+    results = {"scene": scene, "architecture": architecture}
+    n = len(dataset)
+    names = [dataset[i]["filename"].replace("/", "_") for i in range(n)]
+    if do_filter and not (filter_dir / "finished.txt").exists() or override:
+        filter_dir.mkdir(parents=True, exist_ok=True)
+        import jax.numpy as jnp
+        for i in range(n):
+            sample = dataset[i]
+            npz = np.load(depth_dir / f"{names[i]}_out.npz")
+            ref_depth = npz["depthmap"]
+            src_names = [s.replace("/", "_") for s in sample["src_filenames"]]
+            src_depths = np.stack([
+                np.load(depth_dir / f"{s}_out.npz")["depthmap"]
+                for s in src_names])
+            # camera scaled to the depthmap resolution
+            scale = ref_depth.shape[0] / sample["imgs"].shape[1]
+            K = sample["K"].copy()
+            K[:, :2] *= scale
+            masks = geometric_filter(
+                jnp.asarray(ref_depth), jnp.asarray(src_depths),
+                jnp.asarray(K), jnp.asarray(sample["R"]),
+                jnp.asarray(sample["t"]),
+                max_reproj_error=max_reproj_error,
+                depth_threshold=depth_threshold,
+                min_tri_angle=min_tri_angle, num_consistent=num_consistent)
+            np.savez_compressed(
+                filter_dir / f"{names[i]}_out.npz",
+                **{k: np.asarray(v) for k, v in masks.items()})
+            if debug:
+                break
+        if not debug:
+            (filter_dir / "finished.txt").write_text(" ")
+    if debug:
+        return results
+
+    # ---- stage 3: native fusion ----
+    points_dir.mkdir(parents=True, exist_ok=True)
+    ply_path = points_dir / f"{scene}.ply"
+    if not ply_path.exists() or override:
+        depths, colors, Ks, Rs, ts = [], [], [], [], []
+        for i in range(n):
+            sample = dataset[i]
+            npz = np.load(depth_dir / f"{names[i]}_out.npz")
+            depth = npz["depthmap"].copy()
+            geo = None
+            if do_filter:
+                geo = np.load(filter_dir / f"{names[i]}_out.npz")["geo_mask"]
+            invalid = get_mask_invalid(npz["probability"], prob_threshold, geo)
+            depth[invalid] = 0.0  # parity fusibile.py:152-158
+            depths.append(depth)
+            scale = depth.shape[0] / sample["imgs"].shape[1]
+            K = sample["K"][0].copy()
+            K[:2] *= scale
+            Ks.append(K)
+            Rs.append(sample["R"][0])
+            ts.append(sample["t"][0])
+            img = sample["imgs"][0]
+            ih = depth.shape[0]
+            iw = depth.shape[1]
+            step = max(img.shape[0] // ih, 1)
+            colors.append(img[::step, ::step][:ih, :iw])
+        points, cols = fuse_depthmaps(
+            np.stack(depths), np.stack(Ks), np.stack(Rs), np.stack(ts),
+            colors=np.stack(colors),
+            disp_threshold=fusion_disp_threshold,
+            num_consistent=fusion_num_consistent)
+        write_ply(ply_path, points, colors=cols)
+        results["num_points"] = int(points.shape[0])
+    else:
+        from ..data.ply import ply_xyz
+        results["num_points"] = int(ply_xyz(ply_path).shape[0])
+    results["ply"] = str(ply_path)
+
+    # ---- stage 4: metrics ----
+    if compute_metrics:
+        from . import metrics3d
+        from ..data.ply import ply_xyz
+        pred = ply_xyz(ply_path)
+        if dataset_name == "dtu":
+            gt, mask, bb, res, plane = metrics3d.load_dtu_gt(data_path, scene)
+            raw = metrics3d.eval_dtu(pred, gt, mask, bb, float(res), plane)
+            metrics3d.save_raw(work_dir / "IntRes" / "chamfer", scene, raw)
+            results["metrics"] = metrics3d.summarize_dtu(raw)
+        elif hasattr(dataset, "gt_points"):
+            raw = metrics3d.eval_yfcc(pred, dataset.gt_points,
+                                      getattr(dataset, "gt_resolution", 1.0))
+            results["metrics"] = {
+                "chamfer_pred_to_gt": float(np.mean(np.minimum(
+                    raw["dist_predToGt"], 10 * getattr(dataset, "gt_resolution", 1.0)))),
+                "chamfer_gt_to_pred": float(np.mean(np.minimum(
+                    raw["dist_gtToPred"], 10 * getattr(dataset, "gt_resolution", 1.0)))),
+            }
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="wildmvs 3D reconstruction")
+    p.add_argument("--dataset", default="synthetic",
+                   choices=["dtu", "yfcc", "synthetic"])
+    p.add_argument("--scene", default="scene")
+    p.add_argument("--model", default=None, help="trained model dir")
+    p.add_argument("--architecture", default="mvsnet",
+                   help="model architecture, or 'oracle' to use GT depths")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--work_dir", default="recon_out")
+    p.add_argument("--filter", action="store_true", default=True)
+    p.add_argument("--no_filter", dest="filter", action="store_false")
+    p.add_argument("--prob_threshold", type=float, default=0.8)
+    p.add_argument("--max_reproj_error", type=float, default=1.0)
+    p.add_argument("--depth_threshold", type=float, default=0.01)
+    p.add_argument("--min_tri_angle", type=float, default=1.0)
+    p.add_argument("--num_consistent", type=int, default=3)
+    p.add_argument("--fusion_depth_threshold", type=float, default=0.01)
+    p.add_argument("--fusion_num_consistent", type=int, default=3)
+    p.add_argument("--compute_metrics", action="store_true")
+    p.add_argument("--override", action="store_true")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    a = p.parse_args(argv)
+    if a.platform:
+        jax.config.update("jax_platforms",
+                          "axon" if a.platform == "tpu" else a.platform)
+
+    if a.dataset == "synthetic":
+        from ..data.synthetic import SyntheticSceneDataset
+        dataset = SyntheticSceneDataset(num_views=5, height=64, width=96)
+    else:
+        from ..data import loaders
+        dataset = loaders.build_eval_dataset(a.dataset, a.data_path, a.scene)
+
+    results = run_pipeline(
+        dataset, Path(a.work_dir), model_dir=a.model,
+        architecture=a.architecture, dataset_name=a.dataset, scene=a.scene,
+        do_filter=a.filter, prob_threshold=a.prob_threshold,
+        max_reproj_error=a.max_reproj_error,
+        depth_threshold=a.depth_threshold, min_tri_angle=a.min_tri_angle,
+        num_consistent=a.num_consistent,
+        fusion_disp_threshold=a.fusion_depth_threshold,
+        fusion_num_consistent=a.fusion_num_consistent,
+        override=a.override, debug=a.debug,
+        compute_metrics=a.compute_metrics, data_path=a.data_path)
+    print(json.dumps(results, default=str))
+
+
+if __name__ == "__main__":
+    main()
