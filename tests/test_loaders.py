@@ -1,0 +1,257 @@
+"""Dataset-loader tests against miniature on-disk datasets in the exact
+reference formats (DTU Yao layout, BlendedMVS, MegaDepth n-uplets, COLMAP
+sparse scenes)."""
+import numpy as np
+import pytest
+from PIL import Image
+
+from wildmvs.data import codecs, loaders
+from wildmvs.data import colmap_model as cm
+from wildmvs.data import colmap_utils as cu
+
+
+def _write_img(path, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(img).save(path)
+
+
+def _yao_cam(path, K, R, t, dmin, dint, count=None, dmax=None):
+    ext = np.eye(4)
+    ext[:3, :3] = R
+    ext[:3, 3:] = t
+    codecs.write_cam_txt(path, ext, K, dmin, dint, count, dmax)
+
+
+def test_dtu_train_dataset(tmp_path):
+    root = tmp_path / "dtu"
+    h, w = 544, 672  # pre-crop size -> cropped to 512x640
+    K = np.array([[700.0, 0, w / 2], [0, 700.0, h / 2], [0, 0, 1]])
+    (root / "Cameras" / "train").mkdir(parents=True)
+    # pair.txt with 2 viewpoints
+    (root / "Cameras" / "pair.txt").write_text(
+        "2\n0\n2 1 100.0 0 50.0\n1\n2 0 100.0 0 50.0\n")
+    for vid in range(2):
+        _yao_cam(root / "Cameras" / "train" / f"{vid:08d}_cam.txt",
+                 K / np.array([[4], [4], [1]]), np.eye(3),
+                 np.array([[0.1 * vid], [0], [0]]), 425.0, 2.5)
+        for light in range(7):
+            _write_img(root / "Rectified" / "scan1_train"
+                       / f"rect_{vid + 1:03d}_{light}_r5000.png", h, w, vid)
+        depth = np.full((h // 4, w // 4), 600.0, np.float32)
+        (root / "Depths" / "scan1_train").mkdir(parents=True, exist_ok=True)
+        codecs.write_pfm(root / "Depths" / "scan1_train"
+                         / f"depth_map_{vid:04d}.pfm", depth)
+        _write_img(root / "Depths" / "scan1_train"
+                   / f"depth_visual_{vid:04d}.png", h // 4, w // 4)
+
+    ds = loaders.DTUTrainDataset(root, [1], "train", 2, return_depth=True)
+    assert len(ds) == 14  # 2 viewpoints x 7 lights
+    s = ds[0]
+    assert s["imgs"].shape == (2, 512, 640, 3)
+    assert s["K"].shape == (2, 3, 3)
+    np.testing.assert_allclose(s["depth_min"], 425.0)
+    np.testing.assert_allclose(s["depth_max"], 425.0 + 192 * 2.5)
+    assert s["depth"].shape == (h // 4, w // 4)
+    # principal point shifted by the center crop: cx' = 4*cx_file - crop_w
+    assert s["K"][0, 0, 2] == pytest.approx(w / 2 - (w - 640) / 2)
+
+    # val mode subsamples deterministically
+    ds_val = loaders.DTUTrainDataset(root, [1], "val", 2, return_depth=True)
+    ds_val2 = loaders.DTUTrainDataset(root, [1], "val", 2, return_depth=True)
+    assert [m for m in ds_val.metas] == [m for m in ds_val2.metas]
+
+
+def test_blended_dataset(tmp_path):
+    root = tmp_path / "blended"
+    scene = "5a0271884e62597cdee0d0eb"
+    h, w = 576, 768
+    K = np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]])
+    (root / scene / "cams").mkdir(parents=True)
+    (root / scene / "cams" / "pair.txt").write_text(
+        "2\n0\n1 1 10.0\n1\n1 0 10.0\n")
+    for vid in range(2):
+        name = f"{vid:08d}"
+        _yao_cam(root / scene / "cams" / f"{name}_cam.txt", K, np.eye(3),
+                 np.zeros((3, 1)), 2.0, 0.05, 128, 2.0 + 128 * 0.05)
+        _write_img(root / scene / "blended_images" / f"{name}.jpg", h, w, vid)
+        (root / scene / "rendered_depth_maps").mkdir(parents=True,
+                                                     exist_ok=True)
+        codecs.write_pfm(root / scene / "rendered_depth_maps" / f"{name}.pfm",
+                         np.full((h, w), 4.0, np.float32))
+    ds = loaders.BlendedMVSDataset(root, [scene], "train", 2, augment=False)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["imgs"].shape == (2, 576, 768, 3)
+    np.testing.assert_allclose(s["depth_max"], 2.0 + 128 * 0.05)
+    assert s["mask"].all()  # depth 4.0 is inside (2.0, 8.4)
+
+    ds_aug = loaders.BlendedMVSDataset(root, [scene], "train", 2, augment=True)
+    s_aug = ds_aug[0]
+    assert s_aug["imgs"].shape == (2, 576, 768, 3)
+
+
+def test_megadepth_dataset(tmp_path):
+    import h5py
+    root = tmp_path / "md"
+    scene = "0000"
+    sp = root / "train" / scene
+    sp.mkdir(parents=True)
+    h, w = 600, 800
+    K = np.tile(np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]],
+                         np.float32), (3, 1, 1))
+    R = np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))
+    t = np.zeros((3, 3, 1), np.float32)
+    for cpt in range(2):
+        for v in range(3):
+            _write_img(sp / f"im_{cpt}_{v}.jpg", h, w, v)
+        np.savez(sp / f"infos_{cpt}.npz", K=K, R=R, t=t,
+                 min_d=np.full(3, 2.0), max_d=np.full(3, 8.0))
+        with h5py.File(sp / f"depth_{cpt}.h5", "w") as f:
+            f["depth"] = np.full((h, w), 4.0, np.float32)
+    ds = loaders.MegaDepthDataset(root, [scene], "train", 3,
+                                  return_depth=True)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["imgs"].shape == (3, 512, 512, 3)
+    assert s["depth"].shape == (512, 512)
+    assert s["mask"].all()
+
+
+def _synthetic_colmap_scene(root, n_views=4, n_points=60):
+    rng = np.random.default_rng(0)
+    w, h = 640, 512
+    K = np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]])
+    cams = {1: cm.Camera(1, "PINHOLE", w, h,
+                         np.array([600.0, 600.0, w / 2, h / 2]))}
+    pts_w = rng.uniform(-1, 1, (n_points, 3)) + [0, 0, 4.0]
+    images = {}
+    Rs, ts = [], []
+    for i in range(n_views):
+        ang = 0.15 * (i - n_views / 2)
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        t = np.array([-0.5 * i, 0, 0.05 * i]).reshape(3, 1)
+        cam = pts_w @ R.T + t.T
+        proj = cam @ K.T
+        px = proj[:, :2] / proj[:, 2:]
+        vis = ((px >= 0).all(1) & (px[:, 0] < w) & (px[:, 1] < h)
+               & (cam[:, 2] > 0))
+        ids = np.where(vis)[0]
+        images[i + 1] = cm.Image(
+            i + 1, cm.rotmat2qvec(R), t[:, 0], 1, f"im_{i}.jpg",
+            px[ids], ids.astype(np.int64))
+        Rs.append(R)
+        ts.append(t)
+    points = {}
+    for j in range(n_points):
+        obs_ims, obs_idx = [], []
+        for i in range(n_views):
+            where = np.where(images[i + 1].point3D_ids == j)[0]
+            if where.size:
+                obs_ims.append(i + 1)
+                obs_idx.append(int(where[0]))
+        points[int(j)] = cm.Point3D(
+            int(j), pts_w[j], np.array([100, 100, 100]), 0.5,
+            np.array(obs_ims, np.int32), np.array(obs_idx, np.int32))
+    cm.write_model(cams, images, points, root / "sparse" / "scene1", ".bin")
+    for i in range(n_views):
+        _write_img(root / "images" / "scene1" / f"im_{i}.jpg", h, w, i)
+    return K, Rs, ts, pts_w, images, points
+
+
+def test_yfcc_scene_dataset(tmp_path):
+    _synthetic_colmap_scene(tmp_path)
+    ds = loaders.YFCCSceneDataset(tmp_path, "scene1", nviews=3,
+                                  min_triangulation_angle=1.0)
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["imgs"].shape[0] == 3
+    assert s["imgs"].shape[1] % 32 == 0 and s["imgs"].shape[2] % 32 == 0
+    assert (s["depth_min"] < s["depth_max"]).all()
+    assert len(s["src_filenames"]) == 2
+    assert s["filename"] == "im_0"
+
+
+def test_view_selection_prefers_covisible(tmp_path):
+    K, Rs, ts, pts, images, points = _synthetic_colmap_scene(tmp_path)
+    R = np.stack(Rs)
+    t = np.stack(ts)
+    sel = cu.compute_src_images(images, points, R, t, 1.0, 2)
+    for i, s in enumerate(sel):
+        assert i not in s  # never selects itself
+        assert len(s) == 2
+
+
+def test_triangulation_recovers_points(tmp_path):
+    K, Rs, ts, pts_w, images, points = _synthetic_colmap_scene(tmp_path)
+    Ks = np.tile(K, (4, 1, 1))
+    R = np.stack(Rs)
+    t = np.stack(ts)
+    tri = cu.triangulate_tracks(images, Ks, R, t)
+    assert len(tri) > 30
+    errs = [np.linalg.norm(tri[j].xyz - pts_w[j]) for j in tri]
+    assert np.median(errs) < 1e-6
+
+
+def test_depth_range_percentiles(tmp_path):
+    K, Rs, ts, pts_w, images, points = _synthetic_colmap_scene(tmp_path)
+    Ks = np.tile(K, (4, 1, 1))
+    dmin, dmax = cu.compute_min_max_depth(points, images, Ks, np.stack(Rs),
+                                          np.stack(ts))
+    depths0 = (pts_w @ Rs[0].T + ts[0].T)[:, 2]
+    assert dmin[0] >= depths0.min() - 1e-6
+    assert dmax[0] <= depths0.max() + 1e-6
+    assert dmin[0] < dmax[0]
+
+
+def test_scene_lists_present():
+    for name in ["dtu_train", "dtu_val", "md_train", "md_test",
+                 "blended_train", "blended_val"]:
+        lst = loaders.scene_list(name)
+        assert len(lst) > 0
+
+
+def test_megadepth_preprocessor(tmp_path):
+    import h5py
+    from wildmvs.data import preprocess_megadepth as pp
+    # build a MegaDepth-like tree: sfm model + dense0/imgs + dense0/depths
+    K, Rs, ts, pts_w, images, points = _synthetic_colmap_scene(
+        tmp_path / "tmp_scene", n_views=4, n_points=400)
+    # preprocess_megadepth expects the model directly at sfm_root/<scene>
+    cm.write_model({1: cm.Camera(1, "PINHOLE", 640, 512,
+                                 np.array([600.0, 600.0, 320.0, 256.0]))},
+                   images, points, tmp_path / "sfm_root" / "sceneA", ".bin")
+    img_root = tmp_path / "imgs"
+    for i in range(4):
+        _write_img(img_root / "sceneA" / "dense0" / "imgs" / f"im_{i}.jpg",
+                   512, 640, i)
+        dpath = img_root / "sceneA" / "dense0" / "depths" / f"im_{i}.h5"
+        dpath.parent.mkdir(parents=True, exist_ok=True)
+        with h5py.File(dpath, "w") as f:
+            f["depth"] = np.full((512, 640), 4.0, np.float32)
+            f["pad"] = np.zeros(200 * 1024 // 4, np.float32)  # size gate
+    out_root = tmp_path / "out"
+    n = pp.process_scene("sceneA", img_root, tmp_path / "sfm_root", out_root,
+                         nb_src=2, nb_per_scene=3, nb_points_thresh=20,
+                         tri_angle_thresh=1.0)
+    assert n >= 1
+    # the output must load through MegaDepthDataset
+    sp = out_root / "sceneA"
+    files = sorted(f.name for f in sp.iterdir())
+    assert any(f.startswith("im_0_") for f in files)
+    assert "infos_0.npz" in files and "depth_0.h5" in files
+    npz = np.load(sp / "infos_0.npz")
+    assert (npz["min_d"] < npz["max_d"]).all()
+    ds = loaders.MegaDepthDataset(out_root.parent, ["out/sceneA"], "train", 3,
+                                  return_depth=True)
+    # path layout: root/train/scene — rebuild with proper structure instead
+    train_root = tmp_path / "md_ds" / "train"
+    train_root.mkdir(parents=True)
+    (train_root / "sceneA").symlink_to(sp)
+    ds = loaders.MegaDepthDataset(tmp_path / "md_ds", ["sceneA"], "train", 3,
+                                  return_depth=True)
+    assert len(ds) >= 1
+    s = ds[0]
+    assert s["imgs"].shape == (3, 512, 512, 3)

