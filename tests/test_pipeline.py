@@ -115,3 +115,30 @@ def test_eval_dtu_protocol_synthetic(rng):
     assert s["accuracy_mean"] < 1e-9
     assert s["completeness_mean"] < 1e-9
     assert raw["abovePlane"].all()
+
+
+def test_native_kdtree_matches_scipy(rng):
+    pytest.importorskip("scipy")
+    try:
+        from wildmvs.cpp import NativeKDTree, radius_dedup
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    from scipy.spatial import cKDTree
+    pts = rng.random((5000, 3)) * 10
+    q = rng.random((3000, 3)) * 10
+    tree = NativeKDTree(pts)
+    d_nat = tree.nn_distance(q, maxdist=2.0)
+    d_sci = np.minimum(cKDTree(pts).query(q, distance_upper_bound=2.0)[0], 2.0)
+    np.testing.assert_allclose(d_nat, d_sci, atol=1e-12)
+
+    order = np.random.default_rng(1).permutation(5000)
+    keep = radius_dedup(pts, 0.2, order)
+    kd = cKDTree(pts)
+    ref = np.ones(5000, bool)
+    idx = kd.query_ball_point(pts[order], 0.2)
+    for j in range(5000):
+        pid = order[j]
+        if ref[pid]:
+            ref[idx[j]] = False
+            ref[pid] = True
+    assert np.array_equal(keep, ref)

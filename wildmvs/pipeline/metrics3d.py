@@ -17,6 +17,12 @@ from pathlib import Path
 import numpy as np
 from scipy.spatial import cKDTree
 
+try:  # native C++ KD-tree (wildmvs/cpp); scipy remains the fallback
+    from ..cpp import NativeKDTree, radius_dedup as _native_dedup
+    _HAVE_NATIVE = True
+except Exception:  # pragma: no cover - toolchain-less environments
+    _HAVE_NATIVE = False
+
 
 def format_point_cloud(vertices) -> np.ndarray:
     """Structured PLY vertices -> [N, 3], NaNs dropped."""
@@ -32,6 +38,12 @@ def reduce_pts(pts: np.ndarray, radius: float, chunked: bool = False,
     n = pts.shape[0]
     keep = np.ones((n,), dtype=bool)
     rand_ord = np.random.default_rng(seed).permutation(n)
+    if _HAVE_NATIVE and not chunked:
+        try:
+            keep = _native_dedup(np.asarray(pts, np.float64), radius, rand_ord)
+            return pts[keep], keep
+        except RuntimeError:
+            pass
     kdtree = cKDTree(pts)
     if chunked:
         chunks = list(range(0, n, min(int(4e6), max(n - 1, 1))))
@@ -82,7 +94,15 @@ def chamfer_cells(pts_from: np.ndarray, pts_to: np.ndarray, bb: np.ndarray,
 
 def chamfer_nn(pts_from: np.ndarray, pts_to: np.ndarray,
                maxdist: float = np.inf) -> np.ndarray:
-    """Plain NN distance with a cutoff. Parity: metrics.py:93-96."""
+    """Plain NN distance with a cutoff. Parity: metrics.py:93-96.
+    NOTE: the native path returns maxdist for cut-off points where scipy
+    returns inf; all consumers clip at maxdist anyway."""
+    if _HAVE_NATIVE and pts_to.shape[0] > 0:
+        try:
+            return NativeKDTree(np.asarray(pts_to, np.float64)).nn_distance(
+                np.asarray(pts_from, np.float64), maxdist)
+        except RuntimeError:
+            pass
     kd = cKDTree(pts_to)
     return kd.query(pts_from, distance_upper_bound=maxdist, workers=8)[0]
 
