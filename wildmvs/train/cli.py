@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.synthetic import SyntheticMVSDataset, collate
+from ..utils.monitor import Logger, MeterSet, profiler_trace
 from .checkpoint import (latest_checkpoint, load_metadata, restore_checkpoint,
                          save_checkpoint)
 from .config import TrainConfig
@@ -60,6 +61,8 @@ def run(config: TrainConfig, max_epochs: int | None = None) -> dict:
         start_epoch = load_metadata(ckpt)["epoch"] + 1
         print(f"resumed from {ckpt} at epoch {start_epoch}")
 
+    logger = Logger(logdir)
+    meters = MeterSet()
     history = {"train_loss": [], "val_loss": [], "test": []}
     end_epoch = max_epochs if max_epochs is not None else config.epochs
     for epoch in range(start_epoch, end_epoch):
@@ -74,9 +77,13 @@ def run(config: TrainConfig, max_epochs: int | None = None) -> dict:
         for i, batch in enumerate(batches(train_ds, config.batch_size, order)):
             state, m = T.train_step(state, batch, config)
             ep_losses.append(float(m["train_loss"]))
+            meters.update(m)
             if config.debug:
                 break
         history["train_loss"].append(float(np.mean(ep_losses)))
+        logger.log({"epoch": epoch, **meters.reset(),
+                    "lr": config.lr_at_epoch(epoch),
+                    "seconds": round(time.time() - t0, 2)})
         print(f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f} "
               f"({time.time() - t0:.1f}s)")
 
@@ -99,6 +106,8 @@ def run(config: TrainConfig, max_epochs: int | None = None) -> dict:
             avg = {k: float(np.mean([m[k] for m in t_metrics]))
                    for k in t_metrics[0]}
             history["test"].append(avg)
+            logger.log({"epoch": epoch, "val_loss": history["val_loss"][-1],
+                        **avg})
             print(f"  val_loss={history['val_loss'][-1]:.4f} test={avg}")
         if config.debug:
             break
