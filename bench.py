@@ -36,7 +36,8 @@ def main():
     dmin = jnp.full((b, n), 425.0)
     dmax = jnp.full((b, n), 935.0)
 
-    model = build_model("mvsnet", num_depth=d)
+    # bf16 compute (f32 params/accumulation) is the deployment configuration
+    model = build_model("mvsnet", num_depth=d, dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), imgs, K, R, t, dmin, dmax,
                            train=False)
 

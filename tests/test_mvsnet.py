@@ -148,3 +148,12 @@ def test_cvp_mvsnet_nscale_override(rng):
     out = model.apply(variables, *args, train=False, nscale=3)
     assert len(out["depth_est_list"]) == 3
     assert out["depth_est_list"][2].shape[1:] == (16, 16)
+
+
+@pytest.mark.parametrize("mode", ["hard", "average", "uwta", "maxpool"])
+def test_vis_mvsnet_fusion_modes(rng, mode):
+    model = build_model("vis_mvsnet", depth_nums=(4, 4, 4), mode=mode)
+    args = _sample(rng, h=32, w=32)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+    out = model.apply(variables, *args, train=False)
+    assert np.isfinite(np.asarray(out["depth"])).all()

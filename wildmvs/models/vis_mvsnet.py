@@ -94,8 +94,10 @@ class UncertNet(nn.Module):
 
 
 class SingleStage(nn.Module):
-    """One cascade stage with soft visibility fusion.
-    Parity: model_cas.py:166-420 (forward, mode='soft')."""
+    """One cascade stage with per-pair visibility fusion.
+    Parity: model_cas.py:166-420 — all 5 fusion modes
+    (soft / hard / average / uwta / maxpool); 'soft' is the repo default."""
+    mode: str = "soft"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -118,6 +120,7 @@ class SingleStage(nn.Module):
         pair_results = []
         weight_sum = jnp.zeros((b, 1, h, w, 1), ref_feat.dtype)
         fused = jnp.zeros((b, depth_num, h, w, 8), ref_feat.dtype)
+        min_weight = None
         ref_vol = ref_feat[:, None]  # [B, 1, H, W, C]
 
         for i in range(n_src):
@@ -136,11 +139,37 @@ class SingleStage(nn.Module):
             ent = entropy(prob, axis=1, keepdims=False)[:, :, :, None]
             uncert = uncert_net(ent, train)[..., 0]        # [B, H, W]
             pair_results.append((est_depth, (uncert,)))
-            weight = jnp.exp(-uncert)[:, None, :, :, None]  # [B,1,H,W,1]
-            weight_sum = weight_sum + weight
-            fused = fused + interm * weight
 
-        fused = fused / weight_sum
+            # per-pair volume fusion — all 5 reference modes
+            # (model_cas.py:354-394); 'soft' is the default everywhere
+            if self.mode == "soft":
+                weight = jnp.exp(-uncert)[:, None, :, :, None]  # [B,1,H,W,1]
+                weight_sum = weight_sum + weight
+                fused = fused + interm * weight
+            elif self.mode == "hard":
+                weight = (uncert < 0).astype(interm.dtype)[:, None, :, :, None]                     + 1e-4
+                weight_sum = weight_sum + weight
+                fused = fused + interm * weight
+            elif self.mode == "average":
+                fused = fused + interm
+            elif self.mode == "uwta":
+                weight = uncert[:, None, :, :, None]
+                if min_weight is None:
+                    min_weight = weight
+                    mask = jnp.ones_like(weight)
+                else:
+                    mask = (weight < min_weight).astype(interm.dtype)
+                    min_weight = weight * mask + min_weight * (1 - mask)
+                fused = interm * mask + fused * (1 - mask)
+            elif self.mode == "maxpool":
+                fused = interm if i == 0 else jnp.maximum(fused, interm)
+            else:
+                raise NotImplementedError(self.mode)
+
+        if self.mode in ("soft", "hard"):
+            fused = fused / weight_sum
+        elif self.mode == "average":
+            fused = fused / n_src
         score = RegFuse(dtype=self.dtype, name="reg_fuse")(fused, train)[..., 0]
         prob, est_class, prob_map = soft_argmin(score, window=2)
         est_depth = est_class * depth_interval[:, 0] + depth_start[:, 0]
@@ -154,6 +183,7 @@ class VisMVSNet(nn.Module):
     pipeline_utils.py:142-144 expressed as constructor fields)."""
     depth_nums: Sequence[int] = (32, 16, 8)
     interval_scales: Sequence[float] = (4.0, 2.0, 1.0)
+    mode: str = "soft"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -184,7 +214,7 @@ class VisMVSNet(nn.Module):
 
         # ---- stage 1 (1/8) ----
         ref1, srcs1 = stage_feats(0)
-        est1, prob1, pairs1 = SingleStage(dtype=self.dtype, name="stage1")(
+        est1, prob1, pairs1 = SingleStage(mode=self.mode, dtype=self.dtype, name="stage1")(
             ref1, srcs1, cams, depth_nums[0], d_start0,
             d_interval * interval_scales[0], 8, train)
         prob1_up = resize_bilinear(prob1, (prob1.shape[1] * 4,
@@ -196,7 +226,7 @@ class VisMVSNet(nn.Module):
         # NOTE: centering uses self.interval_scales (frontend.py:76-78 quirk)
         d_start2 = (up1 - depth_nums[1] * depth_interval[:, None, None]
                     * self.interval_scales[1] / 2.0)[:, None]  # [B,1,H,W]
-        est2, prob2, pairs2 = SingleStage(dtype=self.dtype, name="stage2")(
+        est2, prob2, pairs2 = SingleStage(mode=self.mode, dtype=self.dtype, name="stage2")(
             ref2, srcs2, cams, depth_nums[1], d_start2,
             d_interval * interval_scales[1], 4, train)
         prob2_up = resize_bilinear(prob2, (prob2.shape[1] * 2,
@@ -207,7 +237,7 @@ class VisMVSNet(nn.Module):
         up2 = resize_bilinear(jax.lax.stop_gradient(est2), ref3.shape[1:3])
         d_start3 = (up2 - depth_nums[2] * depth_interval[:, None, None]
                     * self.interval_scales[2] / 2.0)[:, None]
-        est3, prob3, pairs3 = SingleStage(dtype=self.dtype, name="stage3")(
+        est3, prob3, pairs3 = SingleStage(mode=self.mode, dtype=self.dtype, name="stage3")(
             ref3, srcs3, cams, depth_nums[2], d_start3,
             d_interval * interval_scales[2], 2, train)
 
