@@ -171,6 +171,7 @@ class CVPMVSNet(nn.Module):
     """CVP-MVSNet frontend with the uniform model contract.
     Parity: frontend.py:10-38 + net.py:88-229."""
     nscale: int = 2            # train default (net.py:94); eval 4/5
+    batched_bn: bool = False   # (no BN in CVP's extractor; kept for symmetry)
     dtype: Any = jnp.float32
 
     @nn.compact

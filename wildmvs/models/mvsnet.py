@@ -11,9 +11,10 @@ Parity: models/MVSNet/model.py. Structure:
   softmax over depth -> soft-argmin depth + 4-tap photometric confidence
     (model.py:205-215)
 
-TPU-first choices: channels-last layouts, all N views featurized in ONE
-batched conv call (the reference loops per view), the warp+aggregate loop
-kept associative so it shards over a mesh `view` axis.
+TPU-first choices: channels-last layouts, batched featurization of all N
+views at eval (per-view at train for BN-statistics parity with the
+reference's per-view calls), the warp+aggregate loop kept associative so it
+shards over a mesh `view` axis.
 """
 from __future__ import annotations
 
@@ -75,6 +76,11 @@ class MVSNet(nn.Module):
     """MVSNet frontend with the uniform model contract (see models/api.py)."""
     aggregation: str = "variance"  # "variance" | "softmin" (+ "norm" prefix)
     num_depth: int = 192
+    # the reference featurizes each view in its own call (model.py:101-107),
+    # so train-mode BatchNorm statistics are PER VIEW; batched_bn=True
+    # featurizes all views in one batched call instead (identical at eval,
+    # faster, but train-mode BN then normalizes across views)
+    batched_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -90,13 +96,20 @@ class MVSNet(nn.Module):
         interval = (depth_max - depth_min) / (self.num_depth - 1)  # [B, N]
         depth_values = depth_min[..., None] + interval[..., None] * steps  # [B,N,D]
 
-        # one batched featurization of all views (reference loops: model.py:101-107)
-        feats = FeatureNet(dtype=self.dtype, name="feature")(
-            imgs.reshape(b * n, h, w, 3), train)
+        fnet = FeatureNet(dtype=self.dtype, name="feature")
+        if self.batched_bn or not train:
+            # eval: running BN stats make batched == per-view; use one call
+            feats = fnet(imgs.reshape(b * n, h, w, 3), train)
+            fh, fw = feats.shape[1:3]
+            feats = feats.reshape(b, n, fh, fw, -1)
+        else:
+            # per-view featurization for train-mode BN parity
+            feats = jnp.stack([fnet(imgs[:, i], train) for i in range(n)],
+                              axis=1)
+            fh, fw = feats.shape[2:4]
         if self.aggregation.startswith("norm"):
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
-        fh, fw = feats.shape[1:3]
-        feats = feats.reshape(b, n, fh, fw, -1)
+            feats = feats / jnp.linalg.norm(feats, axis=-1,
+                                            keepdims=True).clip(1e-12)
 
         src_idx = [i for i in range(n) if i != reference_frame]
         ref_feature = feats[:, reference_frame]

@@ -184,6 +184,9 @@ class VisMVSNet(nn.Module):
     depth_nums: Sequence[int] = (32, 16, 8)
     interval_scales: Sequence[float] = (4.0, 2.0, 1.0)
     mode: str = "soft"
+    # per-view featurization at train (frontend.py:59-62 calls feat_ext per
+    # view -> per-view BN stats); batched_bn featurizes all views at once
+    batched_bn: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -200,11 +203,15 @@ class VisMVSNet(nn.Module):
         d_start0 = depth_min[:, ref].reshape(b, 1, 1, 1)
         d_interval = depth_interval.reshape(b, 1, 1, 1)
 
-        feats = FeatExt(dtype=self.dtype, name="feat_ext")(
-            imgs.reshape(b * n, h, w, c), train)
-        # reorder views so index 0 is the reference
-        feats = [f.reshape((b, n) + f.shape[1:])[:, jnp.array(order)]
-                 for f in feats]
+        fext = FeatExt(dtype=self.dtype, name="feat_ext")
+        if self.batched_bn or not train:
+            feats = fext(imgs.reshape(b * n, h, w, c), train)
+            feats = [f.reshape((b, n) + f.shape[1:])[:, jnp.array(order)]
+                     for f in feats]
+        else:
+            per_view = [fext(imgs[:, i], train) for i in range(n)]
+            feats = [jnp.stack([per_view[i][lvl] for i in range(n)], axis=1)
+                     [:, jnp.array(order)] for lvl in range(3)]
         cams = {"K": K[:, jnp.array(order)], "R": R[:, jnp.array(order)],
                 "t": t[:, jnp.array(order)]}
 

@@ -20,16 +20,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def eval_model_kwargs(architecture: str) -> dict:
+def eval_model_kwargs(architecture: str, bf16: bool = True) -> dict:
     """Eval-time model construction overrides + input downscale.
-    Parity: evaluation/pipeline_utils.py:131-154 (load_network)."""
+    Parity: evaluation/pipeline_utils.py:131-154 (load_network). Inference
+    defaults to bf16 compute (f32 checkpoints restore unchanged; flax casts
+    at apply time)."""
+    import jax.numpy as jnp
+    dtype = {"dtype": jnp.bfloat16} if bf16 else {}
     if architecture == "cvp_mvsnet":
-        return {"kwargs": {}, "downscale": 1}
+        return {"kwargs": dict(dtype), "downscale": 1}
     if architecture == "vis_mvsnet":
         return {"kwargs": {"depth_nums": (64, 32, 16),
-                           "interval_scales": (2.0, 1.0, 0.5)},
+                           "interval_scales": (2.0, 1.0, 0.5), **dtype},
                 "downscale": 2}
-    return {"kwargs": {}, "downscale": 4}
+    return {"kwargs": dict(dtype), "downscale": 4}
 
 
 def eval_forward_fn(model, variables):
