@@ -35,7 +35,8 @@ def test_conv3d_k3s2_matches_torch(rng):
     x = rng.standard_normal((b, d, h, w, cin)).astype(np.float32)
     m = TorchConv(cout, kernel_size=3, strides=2, padding=1)
     params = m.init(jax.random.PRNGKey(0), jnp.array(x))
-    kernel = np.asarray(params["params"]["conv"]["kernel"])  # [kd,kh,kw,cin,cout]
+    # 3D convs keep their kernel at the module level (decomposed path)
+    kernel = np.asarray(params["params"]["kernel"])  # [kd,kh,kw,cin,cout]
 
     tconv = torch.nn.Conv3d(cin, cout, 3, stride=2, padding=1, bias=False)
     with torch.no_grad():
