@@ -49,6 +49,53 @@ def test_matches_gather_path():
     assert rel < 5e-3, rel  # bf16 weight/feature rounding only
 
 
+def test_select4_matches_gather_path():
+    feats, proj = _scene()
+    depths = jnp.linspace(2.0, 6.0, 12)[None]
+    ref = plane_sweep_warp(feats[1][None], proj[:, 1], proj[:, 0], depths,
+                           (32, 40))
+    out = psw.pallas_plane_sweep_warp(feats[1][None], proj[:, 1], proj[:, 0],
+                                      depths, (32, 40), K=16, RB=8,
+                                      variant="select4")
+    rel = float(jnp.abs(out - ref).mean() / (jnp.abs(ref).mean() + 1e-9))
+    assert rel < 5e-3, rel  # bf16 feature rounding only
+
+
+def test_fast_path_cond_dispatch():
+    feats, proj = _scene()
+    depths = jnp.linspace(2.0, 6.0, 12)[None]
+    ref = plane_sweep_warp(feats[1][None], proj[:, 1], proj[:, 0], depths,
+                           (32, 40))
+    out = psw.plane_sweep_warp_fast(feats[1][None], proj[:, 1], proj[:, 0],
+                                    depths, (32, 40), K=16, RB=8)
+    rel = float(jnp.abs(out - ref).mean() / (jnp.abs(ref).mean() + 1e-9))
+    assert rel < 5e-3, rel
+
+    # a strong in-plane roll makes the row span exceed the K window: the
+    # runtime cond must fall back to the exact gather (f32-identical)
+    import numpy as np
+    from wildmvs.geometry.projective import build_proj_matrices
+    a = 0.5
+    ca, sa = np.cos(a), np.sin(a)
+    Rbig = np.array([[ca, -sa, 0], [sa, ca, 0], [0, 0, 1]], np.float32)
+    K = np.array([[50.0, 0, 20.0], [0, 50.0, 16.0], [0, 0, 1]], np.float32)
+    t = np.stack([np.zeros((3, 1), np.float32),
+                  np.array([[0.1], [0.02], [0]], np.float32)])
+    proj2 = build_proj_matrices(
+        jnp.array(np.tile(K, (1, 2, 1, 1))),
+        jnp.array(np.stack([np.eye(3, dtype=np.float32), Rbig]))[None],
+        jnp.array(t)[None])
+    xs, ys = psw.sweep_coords_from_projs(proj2[0, 1], proj2[0, 0], depths[0],
+                                         (32, 40))
+    assert int(psw.sweep_window_span(ys, 32, 8)) > 15
+    ref2 = plane_sweep_warp(feats[1][None], proj2[:, 1], proj2[:, 0], depths,
+                            (32, 40))
+    out2 = psw.plane_sweep_warp_fast(feats[1][None], proj2[:, 1],
+                                     proj2[:, 0], depths, (32, 40),
+                                     K=16, RB=8)
+    assert float(jnp.abs(out2 - ref2).max()) < 1e-4  # gather branch taken
+
+
 def test_behind_camera_and_oob_zero():
     feats, proj = _scene()
     depths = jnp.array([[-1.0, 100.0]])  # behind camera + far out of frustum

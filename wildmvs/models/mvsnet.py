@@ -81,6 +81,9 @@ class MVSNet(nn.Module):
     # featurizes all views in one batched call instead (identical at eval,
     # faster, but train-mode BN then normalizes across views)
     batched_bn: bool = False
+    # plane-sweep warp backend: "auto" (Pallas kernel at inference on
+    # TPU, gather otherwise), "gather", or "pallas" (force)
+    sweep_method: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,10 +119,19 @@ class MVSNet(nn.Module):
         ref_proj = proj[:, reference_frame]
         ref_depths = depth_values[:, reference_frame]  # [B, D]
 
+        # the XLA gather is the measured-fastest exact path on v5e (see
+        # ops/pallas_sweep.py header), so "auto" keeps it; "pallas" forces
+        # the fused kernel (inference only — no VJP)
+        use_fast = self.sweep_method == "pallas" and not train and fh % 8 == 0
+        if use_fast:
+            from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
+        else:
+            warp_fn = plane_sweep_warp
+
         agg = self.aggregation.removeprefix("norm").lstrip("-_") or self.aggregation
         warp_fns = [
-            (lambda i=i: plane_sweep_warp(feats[:, i], proj[:, i], ref_proj,
-                                          ref_depths, (fh, fw)))
+            (lambda i=i: warp_fn(feats[:, i], proj[:, i], ref_proj,
+                                 ref_depths, (fh, fw)))
             for i in src_idx
         ]
         if agg == "variance":

@@ -20,11 +20,17 @@ The matmuls run in bf16 with f32 accumulation (~1e-3 relative sampling
 error — far below MVS feature noise); `plane_sweep_warp` remains the exact
 gather fallback.
 
-Measured (v5e, D=192 H=128 W=160 C=32): kernel 41 ms (K=12) vs gather 35 ms
-— at C=32 the 128-lane channel padding wastes 4x of the MXU, so the gather
-path stays the default; the kernel wins when C is a multiple of 128 (the
-padding waste vanishes while the gather's per-index cost is
-channel-independent).
+Measured (v5e, D=192 H=128 W=160 C=32, RTT-corrected): gather 34.3 ms,
+`_sweep_kernel` 55.9 ms (K=16; 41 ms at K=12), `_sweep4_kernel` selection
+variant 69.2 ms. The selection variant (preshifted 4C=128-channel corner
+table, single compare per window row, bilinear combine outside) was built
+on the hypothesis that the weight-matrix build (VPU) dominated — it does
+not: per-grid-step overhead plus the MXU select-matmul itself bound both
+kernels, and the outside combine adds a ~1.3 GB HBM pass (~15-25 ms). The
+XLA gather's ~9 ns/index is therefore the fastest exact path at C=32 and
+stays the default everywhere (`MVSNet.sweep_method="auto"`); the kernels
+win only when C is a multiple of 128, where the gather's
+channel-independent per-index cost loses to full-lane matmuls.
 
 Correctness domain: the y-span of each (depth, RB-row block) must fit the
 K-row window, so K >= RB + (warp y-variation) + 2; out-of-window pixels
@@ -163,6 +169,135 @@ def pallas_sweep_warp(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
     return out.reshape(D, HO, W, Cp)[..., :C]
 
 
+def _sweep4_kernel(ybase_ref,                 # scalar prefetch [D*HB] int32
+                   base_ref,                  # [1, 1, RBW] int32
+                   row_ref,                   # [1, Wp, G] window row k (bf16)
+                   out_ref,                   # [1, RBW, G] resident block
+                   *, K: int, RBW: int, Wp: int):
+    k = pl.program_id(2)
+    base = base_ref[0]                        # [1, RBW]
+    # pure selection: output p takes window position base[p] - k*Wp if that
+    # falls inside row k (exactly one (k, q) hit per output). All four
+    # bilinear corners live in the channel groups of the preshifted table,
+    # so one compare plane replaces the four weight planes of _sweep_kernel
+    # — the kernel is VPU-bound on this [Wp, RBW] build, ~4x less work.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (Wp, RBW), 0)
+    m_t = (rows == base - k * Wp).astype(jnp.bfloat16)
+    part = jax.lax.dot_general(
+        m_t, row_ref[0],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[0] = part.astype(out_ref.dtype)
+
+    @pl.when(k > 0)
+    def _():
+        out_ref[0] = out_ref[0] + part.astype(out_ref.dtype)
+
+
+def pallas_sweep_warp4(src: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray,
+                       K: int = 16, RB: int = 8) -> jnp.ndarray:
+    """Fast variant of `pallas_sweep_warp`: 4-corner preshifted table.
+
+    The source is expanded to 4C channels (the 2x2 bilinear corner
+    neighborhood concatenated channel-wise), so for C=32 the MXU N dim is
+    exactly one 128-lane tile — no padding waste — and the in-kernel weight
+    matrix degenerates to a single selection compare. Each output's corner
+    group lands in exactly one window step, so bf16 accumulation is exact;
+    the bilinear combine happens here in XLA (it fuses into the consumer).
+
+    Same correctness domain as `pallas_sweep_warp` (K-row window); use
+    `sweep_window_span` + a cond fallback for arbitrary geometry.
+    """
+    H, W, C = src.shape
+    D, HO, WO = xs.shape
+    assert WO == W, (WO, W)
+    assert HO % RB == 0, (HO, RB)
+    assert K >= RB + 2, (K, RB)
+    xs = xs.astype(jnp.float32)               # sub-pixel coords need f32
+    ys = ys.astype(jnp.float32)
+    HB = HO // RB
+    RBW = RB * W
+    Wp = W + 1                                # top-left corners: x0 in [0, W]
+    G = ((4 * C + 127) // 128) * 128
+
+    # preshifted corner table: row r holds src_p rows (r, r+1) x cols (x, x+1)
+    src_p = jnp.pad(src, ((1, K + 1), (1, 1), (0, 0)))
+    src4 = jnp.concatenate(
+        [src_p[:-1, :-1], src_p[:-1, 1:], src_p[1:, :-1], src_p[1:, 1:]], -1)
+    src4 = jnp.pad(src4.astype(jnp.bfloat16), ((0, 0), (0, 0), (0, G - 4 * C)))
+    Ht = src4.shape[0]                        # H + K + 1
+
+    xs_s = xs + 1.0
+    ys_s = ys + 1.0
+    x0f = jnp.floor(xs_s)
+    y0f = jnp.floor(ys_s)
+    fx = (xs_s - x0f).astype(jnp.float32)
+    fy = (ys_s - y0f).astype(jnp.float32)
+
+    # window placement ignores invalid (zero-weight) pixels: clamp their y
+    # into the image so an out-of-frustum outlier can't evict valid
+    # neighbors from the K-row window
+    y0c = jnp.clip(y0f, 0.0, float(H))
+    y_min = jnp.min(y0c.reshape(D, HB, RB, W), axis=(2, 3))
+    ybase = jnp.clip(y_min, 0, Ht - K).astype(jnp.int32)     # [D, HB]
+
+    iy = y0c.astype(jnp.int32) - jnp.repeat(ybase, RB, axis=1)[..., None]
+    valid = ((x0f >= 0.0) & (x0f <= float(W))
+             & (y0f >= 0.0) & (y0f <= float(H))
+             & (iy >= 0) & (iy <= K - 1)).astype(jnp.float32)
+    ix = jnp.clip(x0f, 0.0, float(W)).astype(jnp.int32)
+    iyc = jnp.clip(iy, 0, K - 1)
+
+    base = (iyc * Wp + ix).reshape(D * HB, 1, RBW)
+
+    def block_map(d, hb, k, yb, HB=HB):
+        return (d * HB + hb, 0, 0)
+
+    def row_map(d, hb, k, yb, HB=HB):
+        return (yb[d * HB + hb] + k, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(D, HB, K),
+        in_specs=[
+            pl.BlockSpec((1, 1, RBW), block_map),
+            pl.BlockSpec((1, Wp, G), row_map),
+        ],
+        out_specs=pl.BlockSpec((1, RBW, G), block_map),
+    )
+
+    kernel = functools.partial(_sweep4_kernel, K=K, RBW=RBW, Wp=Wp)
+    acc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D * HB, RBW, G), jnp.bfloat16),
+    )(ybase.reshape(-1), base, src4)
+    acc = acc.reshape(D, HO, W, G)[..., :4 * C].reshape(D, HO, W, 4, C)
+    acc = acc.astype(jnp.float32)
+
+    w00 = ((1 - fy) * (1 - fx) * valid)[..., None]
+    w01 = ((1 - fy) * fx * valid)[..., None]
+    w10 = (fy * (1 - fx) * valid)[..., None]
+    w11 = (fy * fx * valid)[..., None]
+    out = (w00 * acc[..., 0, :] + w01 * acc[..., 1, :]
+           + w10 * acc[..., 2, :] + w11 * acc[..., 3, :])
+    return out.astype(src.dtype)
+
+
+def sweep_window_span(ys: jnp.ndarray, h: int, RB: int) -> jnp.ndarray:
+    """Max (clamped) top-left-corner row span of any (depth, RB-row block):
+    `pallas_sweep_warp4` is exact iff span <= K - 1 (`pallas_sweep_warp`:
+    span <= K - 2). Returns a scalar int32."""
+    D, HO, W = ys.shape
+    y0 = jnp.floor(jnp.clip(ys + 1.0, 0.0, float(h)))
+    y0 = y0.reshape(D, HO // RB, RB, W)
+    return (jnp.max(y0, axis=(2, 3)) - jnp.min(y0, axis=(2, 3))).max() \
+        .astype(jnp.int32)
+
+
 def sweep_coords_from_projs(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
                             depth_values: jnp.ndarray,
                             ref_hw: tuple[int, int]):
@@ -194,14 +329,50 @@ def sweep_coords_from_projs(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
 def pallas_plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
                             ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
                             ref_hw: tuple[int, int] | None = None,
-                            K: int = 16, RB: int = 8) -> jnp.ndarray:
+                            K: int = 16, RB: int = 8,
+                            variant: str = "select4") -> jnp.ndarray:
     """Drop-in (batched) counterpart of ops.plane_sweep.plane_sweep_warp
     using the fused kernel. src_fea [B, h, w, C] -> [B, D, H, W, C]."""
     if ref_hw is None:
         ref_hw = src_fea.shape[1:3]
+    fn = pallas_sweep_warp4 if variant == "select4" else pallas_sweep_warp
 
     def one(src, sp, rp, dv):
         xs, ys = sweep_coords_from_projs(sp, rp, dv, ref_hw)
-        return pallas_sweep_warp(src, xs, ys, K=K, RB=RB)
+        return fn(src, xs, ys, K=K, RB=RB)
 
     return jax.vmap(one)(src_fea, src_proj, ref_proj, depth_values)
+
+
+def plane_sweep_warp_fast(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
+                          ref_proj: jnp.ndarray, depth_values: jnp.ndarray,
+                          ref_hw: tuple[int, int] | None = None,
+                          K: int = 16, RB: int = 8) -> jnp.ndarray:
+    """`plane_sweep_warp` with the fused Pallas path when it is exact.
+
+    Per batch element, a runtime `lax.cond` dispatches to the Pallas
+    selection kernel when every (depth, row-block)'s source-row span fits
+    the K-row window, and to the exact XLA gather otherwise — identical
+    results up to bf16 feature rounding, so model semantics never depend on
+    scene geometry. Requires H % RB == 0 (falls back to gather otherwise).
+    """
+    from .plane_sweep import plane_sweep_warp
+    if ref_hw is None:
+        ref_hw = src_fea.shape[1:3]
+    H, _ = ref_hw
+    if H % RB != 0:
+        return plane_sweep_warp(src_fea, src_proj, ref_proj, depth_values,
+                                ref_hw)
+    h = src_fea.shape[1]
+    outs = []
+    for b in range(src_fea.shape[0]):
+        src, sp, rp, dv = (src_fea[b], src_proj[b], ref_proj[b],
+                           depth_values[b])
+        xs, ys = sweep_coords_from_projs(sp, rp, dv, ref_hw)
+        span = sweep_window_span(ys, h, RB)
+        outs.append(jax.lax.cond(
+            span <= K - 1,
+            lambda: pallas_sweep_warp4(src, xs, ys, K=K, RB=RB),
+            lambda: plane_sweep_warp(src[None], sp[None], rp[None], dv[None],
+                                     ref_hw)[0]))
+    return jnp.stack(outs)
