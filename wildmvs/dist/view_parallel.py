@@ -25,7 +25,10 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 moved shard_map out of experimental
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from ..losses.supervised import resize_bilinear
 from ..train.config import TrainConfig
@@ -108,7 +111,7 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
                 mesh=mesh,
                 in_specs=(P("data"),),
                 out_specs=P(),
-                check_rep=False)
+                check_vma=False)
             return f(batch)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
