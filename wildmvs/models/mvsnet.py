@@ -81,8 +81,8 @@ class MVSNet(nn.Module):
     # featurizes all views in one batched call instead (identical at eval,
     # faster, but train-mode BN then normalizes across views)
     batched_bn: bool = False
-    # plane-sweep warp backend: "auto" (Pallas kernel at inference on
-    # TPU, gather otherwise), "gather", or "pallas" (force)
+    # plane-sweep warp backend: "auto" (octet wide-gather at inference,
+    # exact gather for training), "gather", "wide", or "pallas" (force)
     sweep_method: str = "auto"
     dtype: Any = jnp.float32
 
@@ -119,11 +119,18 @@ class MVSNet(nn.Module):
         ref_proj = proj[:, reference_frame]
         ref_depths = depth_values[:, reference_frame]  # [B, D]
 
-        # the XLA gather is the measured-fastest exact path on v5e (see
-        # ops/pallas_sweep.py header), so "auto" keeps it; "pallas" forces
-        # the fused kernel (inference only — no VJP)
-        use_fast = self.sweep_method == "pallas" and not train and fh % 8 == 0
-        if use_fast:
+        # "auto" keeps the exact XLA gather: the octet wide-gather path
+        # (ops/wide_sweep.py) is ~1.3x faster as a standalone op but ties
+        # in-model (XLA fuses the gather's combine into the aggregation and
+        # demotes it to bf16 under --xla_allow_excess_precision, so the
+        # in-context gather already runs at the wide path's speed); "wide"
+        # and "pallas" force the studied variants (inference only)
+        method = self.sweep_method
+        if method == "auto":
+            method = "gather"
+        if method == "wide" and not train and fw % 8 == 0:
+            from ..ops.wide_sweep import plane_sweep_warp_wide as warp_fn
+        elif method == "pallas" and not train and fh % 8 == 0:
             from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
         else:
             warp_fn = plane_sweep_warp
@@ -144,6 +151,11 @@ class MVSNet(nn.Module):
         else:
             raise NotImplementedError(f"aggregation: {self.aggregation}")
 
+        # layout fence: the 3D-reg convs want D-in-lanes layouts, and without
+        # the barrier XLA propagates that layout up through the warp fusions,
+        # relayouting the two 4C gathered tensors (~2 GB/view) instead of
+        # this single [B,D,H,W,C] volume
+        cost_volume = jax.lax.optimization_barrier(cost_volume)
         cost_reg = CostRegNet(dtype=self.dtype, name="cost_regularization")(
             cost_volume, train)[..., 0]  # [B, D, H, W]
         prob_volume = nn.softmax(cost_reg, axis=1)

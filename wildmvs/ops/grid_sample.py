@@ -38,21 +38,43 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
                 align_corners: bool = True) -> jnp.ndarray:
     """Bilinear zero-padded sampling of a single image.
 
-    TPU note: gather cost on TPU is per-INDEX (~independent of the row
-    width), so the four bilinear corners are fetched with ONE gather of a
-    pre-shifted channel-concatenated image ([H, W, 4C] built with two rolls)
-    instead of four separate gathers — measured ~4x faster than the naive
-    form at MVS cost-volume sizes.
-
     Args:
       img: [H, W, C].
       grid: [..., 2] normalized (x, y) in [-1, 1] (values outside -> zeros).
       align_corners: torch convention selector.
     Returns:
       [..., C] sampled values.
+
+    TPU note: prefer `grid_sample_xy` on hot paths — a materialized
+    [..., 2]-minor grid tensor is padded 64x by TPU (8,128) tiling (minor
+    dim 2 -> 128 lanes), which dominates the warp cost at MVS sizes.  This
+    wrapper unstacks immediately, so only the caller-materialized grid
+    argument pays the padding.
+    """
+    gx, gy = grid[..., 0], grid[..., 1]
+    return grid_sample_xy(img, gx, gy, align_corners)
+
+
+def grid_sample_xy(img: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
+                   align_corners: bool = True) -> jnp.ndarray:
+    """`grid_sample` with the (x, y) coordinate planes as separate arrays.
+
+    Identical math; keeping x and y separate avoids any [..., 2]-minor
+    tensor (64x TPU lane padding — see `grid_sample`).
+
+    TPU note: gather cost on TPU is per-INDEX (~independent of the row
+    width), so the four bilinear corners are fetched with ONE gather of a
+    pre-shifted channel-concatenated image ([H, W, 4C] built with two rolls)
+    instead of four separate gathers — measured ~4x faster than the naive
+    form at MVS cost-volume sizes.
     """
     h, w, c = img.shape
-    x, y = unnormalize_coords(grid, h, w, align_corners)
+    if align_corners:
+        x = (gx + 1.0) * 0.5 * (w - 1)
+        y = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1.0) * w - 1.0) * 0.5
+        y = ((gy + 1.0) * h - 1.0) * 0.5
 
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -75,12 +97,22 @@ def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
     cat = jnp.concatenate([padded, img_r, img_d, img_dr], axis=-1)
     flat = cat.reshape(ph * pw, 4 * c)
     idx = iy * pw + ix
-    g = jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (4 * c,))
+    # indices are in-bounds by construction (clipped onto the zero ring);
+    # jnp.take's default "fill" mode would add a [N, 4C] mask broadcast +
+    # select around the gather (~2.5x the gather's own traffic on TPU)
+    g = flat.at[idx.reshape(-1)].get(
+        mode="promise_in_bounds").reshape(idx.shape + (4 * c,))
 
-    w00 = (wy0 * wx0)[..., None]
-    w01 = (wy0 * wx1)[..., None]
-    w10 = (wy1 * wx0)[..., None]
-    w11 = (wy1 * wx1)[..., None]
+    # weights are computed in grid precision (f32) but cast to the image
+    # dtype for the combine: for bf16 features this keeps the whole combine
+    # and its output in bf16 — an f32 combine doubles the bytes AND pads the
+    # C-minor output 4x in HBM (T(8,128) tiling), measured ~2x slower at MVS
+    # cost-volume sizes; weight rounding (~2^-8 px) is far below feature noise
+    dtype = img.dtype
+    w00 = (wy0 * wx0).astype(dtype)[..., None]
+    w01 = (wy0 * wx1).astype(dtype)[..., None]
+    w10 = (wy1 * wx0).astype(dtype)[..., None]
+    w11 = (wy1 * wx1).astype(dtype)[..., None]
     return (g[..., 0:c] * w00 + g[..., c:2 * c] * w01
             + g[..., 2 * c:3 * c] * w10 + g[..., 3 * c:] * w11)
 

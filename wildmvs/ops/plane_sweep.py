@@ -22,15 +22,18 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.projective import pixel_grid
-from .grid_sample import grid_sample
+from .grid_sample import grid_sample, grid_sample_xy
 
 
-def sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
-               depth_values: jnp.ndarray, ref_hw: tuple[int, int],
-               src_hw: tuple[int, int]) -> jnp.ndarray:
-    """Normalized sampling grid for the MVSNet-style plane sweep.
+def sweep_grid_xy(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
+                  depth_values: jnp.ndarray, ref_hw: tuple[int, int],
+                  src_hw: tuple[int, int]):
+    """Normalized sampling grid for the MVSNet-style plane sweep, as
+    separate (x, y) planes.
 
-    Parity: models/MVSNet/module.py:127-155.
+    Parity: models/MVSNet/module.py:127-155.  The planes stay separate end
+    to end: a stacked [..., 2]-minor grid tensor is padded 64x by TPU
+    (8,128) tiling and dominated the warp cost (see grid_sample.py).
 
     Args:
       src_proj, ref_proj: [B, 4, 4] projection matrices.
@@ -38,7 +41,7 @@ def sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
       ref_hw: (H, W) of the reference feature grid.
       src_hw: (h, w) of the source feature map (for normalization).
     Returns:
-      [B, D, H, W, 2] normalized grid, clamped to [-10, 10].
+      (xn, yn): two [B, D, H, W] normalized planes, clamped to [-10, 10].
     """
     rh, rw = ref_hw
     sh, sw = src_hw
@@ -51,22 +54,34 @@ def sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
 
     grid = pixel_grid(rh, rw, depth_values.dtype)  # [H, W, 2]
     xyz = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)  # [H, W, 3]
-    rot_xyz = jnp.einsum("bij,hwj->bhwi", rot, xyz)  # [B, H, W, 3]
+    rot_xyz = jnp.einsum("bij,hwj->bihw", rot, xyz)  # [B, 3, H, W]
 
     if depth_values.ndim == 2:
-        depth = depth_values.reshape(b, d, 1, 1)
+        depth = depth_values.reshape(b, 1, d, 1, 1)
     else:
-        depth = depth_values  # [B, D, H, W]
+        depth = depth_values[:, None]  # [B, 1, D, H, W]
 
-    proj_xyz = rot_xyz[:, None] * depth[..., None] + trans[:, None, None, None, :]
-    z = proj_xyz[..., 2]
-    xy = proj_xyz[..., :2] / z[..., None]
+    proj_xyz = rot_xyz[:, :, None] * depth + trans[:, :, None, None, None]
+    z = proj_xyz[:, 2]
+    x = proj_xyz[:, 0] / z
+    y = proj_xyz[:, 1] / z
     # behind-camera points go far outside the image (pixel coordinate -10),
     # matching module.py:147-150
-    xy = jnp.where((z <= 0)[..., None], -10.0, xy)
-    xn = xy[..., 0] / ((sw - 1) / 2.0) - 1.0
-    yn = xy[..., 1] / ((sh - 1) / 2.0) - 1.0
-    return jnp.clip(jnp.stack([xn, yn], axis=-1), -10.0, 10.0)
+    behind = z <= 0
+    x = jnp.where(behind, -10.0, x)
+    y = jnp.where(behind, -10.0, y)
+    xn = jnp.clip(x / ((sw - 1) / 2.0) - 1.0, -10.0, 10.0)
+    yn = jnp.clip(y / ((sh - 1) / 2.0) - 1.0, -10.0, 10.0)
+    return xn, yn
+
+
+def sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
+               depth_values: jnp.ndarray, ref_hw: tuple[int, int],
+               src_hw: tuple[int, int]) -> jnp.ndarray:
+    """Stacked [B, D, H, W, 2] form of `sweep_grid_xy` (API/test surface —
+    use the xy form on hot paths)."""
+    xn, yn = sweep_grid_xy(src_proj, ref_proj, depth_values, ref_hw, src_hw)
+    return jnp.stack([xn, yn], axis=-1)
 
 
 def warp_volume(src_fea: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
@@ -94,8 +109,11 @@ def plane_sweep_warp(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
     """
     if ref_hw is None:
         ref_hw = src_fea.shape[1:3]
-    grid = sweep_grid(src_proj, ref_proj, depth_values, ref_hw, src_fea.shape[1:3])
-    return warp_volume(src_fea, grid)
+    xn, yn = sweep_grid_xy(src_proj, ref_proj, depth_values, ref_hw,
+                           src_fea.shape[1:3])
+    return jax.vmap(
+        lambda im, gx, gy: grid_sample_xy(im, gx, gy, align_corners=True)
+    )(src_fea, xn, yn)
 
 
 # ---------------------------------------------------------------------------
@@ -171,13 +189,15 @@ def homography_warp(src: jnp.ndarray, H: jnp.ndarray,
     else:
         warped = jnp.einsum("bhwij,hwj->bhwi", H, hom)
     z = warped[..., 2]
-    xy = warped[..., :2] / jnp.maximum(z, 1e-9)[..., None]
-    xy = jnp.where((z > 0)[..., None], xy, -10.0)
+    zs = jnp.maximum(z, 1e-9)
+    x = jnp.where(z > 0, warped[..., 0] / zs, -10.0)
+    y = jnp.where(z > 0, warped[..., 1] / zs, -10.0)
     # interpolate(): normalize by the *size* (not size-1), then *2-1
-    xn = xy[..., 0] / sw * 2.0 - 1.0
-    yn = xy[..., 1] / sh * 2.0 - 1.0
-    grid_n = jnp.clip(jnp.stack([xn, yn], -1), -1.1, 1.1)
-    return jax.vmap(lambda im, g: grid_sample(im, g, align_corners=True))(src, grid_n)
+    xn = jnp.clip(x / sw * 2.0 - 1.0, -1.1, 1.1)
+    yn = jnp.clip(y / sh * 2.0 - 1.0, -1.1, 1.1)
+    return jax.vmap(
+        lambda im, gx, gy: grid_sample_xy(im, gx, gy, align_corners=True)
+    )(src, xn, yn)
 
 
 def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
@@ -213,19 +233,24 @@ def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
 
     grid = pixel_grid(rh, rw, dtype, offset=0.5)    # homography.py:77-82
     hom = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)
-    Ap = jnp.einsum("bij,hwj->bhwi", A, hom)        # [B, H, W, 3]
-    Bp = jnp.einsum("bij,hwj->bhwi", Bm, hom)       # [B, H, W, 3]
+    # coordinate planes stay separate ([..., 2]/[..., 3]-minor tensors pad
+    # 64x/43x under TPU (8,128) tiling — see grid_sample.py)
+    Ap = jnp.einsum("bij,hwj->bihw", A, hom)        # [B, 3, H, W]
+    Bp = jnp.einsum("bij,hwj->bihw", Bm, hom)       # [B, 3, H, W]
 
     steps = jnp.arange(d, dtype=dtype).reshape(1, d, 1, 1)
     depth = depth_start + depth_interval * steps    # [B, D, H', W'] (H' in {1,H})
     depth = jnp.broadcast_to(depth, (src.shape[0], d, rh, rw))
 
-    warped = Ap[:, None] - Bp[:, None] / (depth[..., None] + 1e-9)
-    z = warped[..., 2]
-    xy = warped[..., :2] / jnp.maximum(z, 1e-9)[..., None]
-    xy = jnp.where((z > 0)[..., None], xy, -10.0)   # homography.py:113-118
-    xn = xy[..., 0] / sw * 2.0 - 1.0                # interpolate() convention
-    yn = xy[..., 1] / sh * 2.0 - 1.0
-    grid_n = jnp.clip(jnp.stack([xn, yn], -1), -1.1, 1.1)
-    return jax.vmap(lambda im, g: grid_sample(im, g, align_corners=True))(
-        src, grid_n)
+    de = depth + 1e-9                               # [B, D, H, W]
+    warped_x = Ap[:, 0, None] - Bp[:, 0, None] / de
+    warped_y = Ap[:, 1, None] - Bp[:, 1, None] / de
+    z = Ap[:, 2, None] - Bp[:, 2, None] / de
+    zs = jnp.maximum(z, 1e-9)
+    x = jnp.where(z > 0, warped_x / zs, -10.0)      # homography.py:113-118
+    y = jnp.where(z > 0, warped_y / zs, -10.0)
+    xn = jnp.clip(x / sw * 2.0 - 1.0, -1.1, 1.1)    # interpolate() convention
+    yn = jnp.clip(y / sh * 2.0 - 1.0, -1.1, 1.1)
+    return jax.vmap(
+        lambda im, gx, gy: grid_sample_xy(im, gx, gy, align_corners=True)
+    )(src, xn, yn)

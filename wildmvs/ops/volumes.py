@@ -33,17 +33,29 @@ def variance_cost_volume(ref_feature: jnp.ndarray,
     """
     fns = warp_fns if warp_fns is not None else [lambda v=v: v for v in warped_iter]
     num_views = len(fns) + 1
-    ref_volume = ref_feature[:, None]  # [B, 1, H, W, C] broadcasts over D
+    out_dtype = ref_feature.dtype
+    # E[x^2] - E[x]^2 cancels catastrophically at bf16 precision, so the
+    # running sums are f32 regardless of the feature dtype; XLA keeps the
+    # upcast in-register (the materialized interfaces — warped volumes in,
+    # cost volume out — stay in the feature dtype)
+    ref_volume = ref_feature.astype(jnp.float32)[:, None]  # [B,1,H,W,C]
     if num_depth is None:
         raise ValueError("num_depth is required")
-    b, h, w, c = ref_feature.shape
-    vol_sum = jnp.broadcast_to(ref_volume, (b, num_depth, h, w, c))
-    vol_sq_sum = vol_sum ** 2
+    # accumulate the warped volumes first and add the [B,1,H,W,C] ref term
+    # by broadcasting inside the final fused elementwise: an explicit
+    # broadcast_to seed feeds both the sum and square chains and gets
+    # materialized by XLA as two full-volume f32 buffers
+    vol_sum = None
+    vol_sq_sum = None
     for fn in fns:
-        warped = fn()
-        vol_sum = vol_sum + warped
-        vol_sq_sum = vol_sq_sum + warped ** 2
-    return vol_sq_sum / num_views - (vol_sum / num_views) ** 2
+        warped = fn().astype(jnp.float32)
+        sq = warped ** 2
+        vol_sum = warped if vol_sum is None else vol_sum + warped
+        vol_sq_sum = sq if vol_sq_sum is None else vol_sq_sum + sq
+    vol_sum = vol_sum + ref_volume
+    vol_sq_sum = vol_sq_sum + ref_volume ** 2
+    cv = vol_sq_sum / num_views - (vol_sum / num_views) ** 2
+    return cv.astype(out_dtype)
 
 
 def softmin_cost_volume(ref_feature: jnp.ndarray,
@@ -59,17 +71,20 @@ def softmin_cost_volume(ref_feature: jnp.ndarray,
     Returns [B, D, H, W, C].
     """
     fns = warp_fns if warp_fns is not None else [lambda v=v: v for v in warped_iter]
-    ref_volume = ref_feature[:, None]  # [B, 1, H, W, C]
+    out_dtype = ref_feature.dtype
+    # f32 running sums for the same cancellation/overflow reasons as the
+    # variance aggregation; interfaces stay in the feature dtype
+    ref_volume = ref_feature.astype(jnp.float32)[:, None]  # [B, 1, H, W, C]
     sum_exp = None
     sum_val = None
     for fn in fns:
-        warped = fn()
+        warped = fn().astype(jnp.float32)
         diff = (ref_volume - warped) ** 2  # [B, D, H, W, C]
         e = jnp.exp(-temperature * jnp.sum(diff, axis=-1, keepdims=True))
         sum_exp = e if sum_exp is None else sum_exp + e
         contrib = e * diff
         sum_val = contrib if sum_val is None else sum_val + contrib
-    return sum_val / (sum_exp + eps)
+    return (sum_val / (sum_exp + eps)).astype(out_dtype)
 
 
 def groupwise_correlation(v1: jnp.ndarray, v2: jnp.ndarray,
