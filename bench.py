@@ -11,11 +11,15 @@ exists — BASELINE.md; this constant is revised if a measured torch number
 becomes available).
 """
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_DEPTHMAPS_PER_S = 4.0
+
+# experiment hook: sweep backend override (see wildmvs/models/mvsnet.py)
+SWEEP_METHOD = os.environ.get("WILDMVS_BENCH_METHOD", "auto")
 
 
 def main():
@@ -37,7 +41,8 @@ def main():
     dmax = jnp.full((b, n), 935.0)
 
     # bf16 compute (f32 params/accumulation) is the deployment configuration
-    model = build_model("mvsnet", num_depth=d, dtype=jnp.bfloat16)
+    model = build_model("mvsnet", num_depth=d, dtype=jnp.bfloat16,
+                        sweep_method=SWEEP_METHOD)
     variables = model.init(jax.random.PRNGKey(0), imgs, K, R, t, dmin, dmax,
                            train=False)
 

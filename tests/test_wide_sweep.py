@@ -76,6 +76,48 @@ def test_span_fallback_on_strong_roll():
     assert float(jnp.abs(out - ref).max()) < 1e-5
 
 
+def test_cost_volume_wide_matches_gather_aggregation():
+    from wildmvs.ops.volumes import variance_cost_volume
+    from wildmvs.ops.wide_sweep import cost_volume_wide
+    feats, proj = _scene()
+    depths = jnp.linspace(2.0, 6.0, 12)[None]
+
+    def agg(ref_feat, fns):
+        return variance_cost_volume(ref_feat, warp_fns=fns, num_depth=12)
+
+    ref_cv = agg(feats[0][None],
+                 [lambda: plane_sweep_warp(feats[1][None], proj[:, 1],
+                                           proj[:, 0], depths, (32, 40))])
+    cv = cost_volume_wide(feats[None], proj, [1], 0, depths, (32, 40), agg)
+    assert cv.shape == ref_cv.shape
+    assert float(jnp.abs(cv - ref_cv).max()) < 1e-4
+
+
+def test_mvsnet_wide_matches_gather():
+    import jax
+    from wildmvs.models import build_model
+    rng = np.random.default_rng(1)
+    b, n, h, w = 1, 3, 64, 96
+    imgs = jnp.array(rng.random((b, n, h, w, 3)).astype(np.float32))
+    K = np.array([[60.0, 0, w / 2], [0, 60.0, h / 2], [0, 0, 1]], np.float32)
+    K = jnp.array(np.tile(K, (b, n, 1, 1)))
+    R = jnp.array(np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1)))
+    t = np.zeros((b, n, 3, 1), np.float32)
+    for i in range(n):
+        t[:, i, 0, 0] = 0.05 * i
+    t = jnp.array(t)
+    dmin = jnp.full((b, n), 2.0)
+    dmax = jnp.full((b, n), 6.0)
+
+    m_g = build_model("mvsnet", num_depth=16, sweep_method="gather")
+    m_w = build_model("mvsnet", num_depth=16, sweep_method="wide")
+    v = m_g.init(jax.random.PRNGKey(0), imgs, K, R, t, dmin, dmax,
+                 train=False)
+    d_g = m_g.apply(v, imgs, K, R, t, dmin, dmax, train=False)["depth"]
+    d_w = m_w.apply(v, imgs, K, R, t, dmin, dmax, train=False)["depth"]
+    assert float(jnp.abs(d_g - d_w).max()) < 1e-3
+
+
 def test_non_multiple_of_8_width_falls_back():
     feats, proj = _scene(fw=42)
     depths = jnp.linspace(2.0, 6.0, 6)[None]

@@ -128,28 +128,39 @@ class MVSNet(nn.Module):
         method = self.sweep_method
         if method == "auto":
             method = "gather"
-        if method == "wide" and not train and fw % 8 == 0:
-            from ..ops.wide_sweep import plane_sweep_warp_wide as warp_fn
-        elif method == "pallas" and not train and fh % 8 == 0:
+        if method == "pallas" and not train and fh % 8 == 0:
             from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
         else:
             warp_fn = plane_sweep_warp
 
         agg = self.aggregation.removeprefix("norm").lstrip("-_") or self.aggregation
-        warp_fns = [
-            (lambda i=i: warp_fn(feats[:, i], proj[:, i], ref_proj,
-                                 ref_depths, (fh, fw)))
-            for i in src_idx
-        ]
-        if agg == "variance":
-            cost_volume = variance_cost_volume(ref_feature, warp_fns=warp_fns,
-                                               num_depth=self.num_depth)
-        elif agg == "softmin":
-            temp = self.param("temp", nn.initializers.ones, (1,), jnp.float32)
-            cost_volume = softmin_cost_volume(ref_feature, warp_fns=warp_fns,
-                                              temperature=temp)
-        else:
+        temp = (self.param("temp", nn.initializers.ones, (1,), jnp.float32)
+                if agg == "softmin" else None)
+
+        def agg_fn(ref_feat, fns):
+            if agg == "variance":
+                return variance_cost_volume(ref_feat, warp_fns=fns,
+                                            num_depth=self.num_depth)
+            elif agg == "softmin":
+                return softmin_cost_volume(ref_feat, warp_fns=fns,
+                                           temperature=temp)
             raise NotImplementedError(f"aggregation: {self.aggregation}")
+
+        if method == "wide" and not train:
+            # octet wide-gather sweep with ONE exact-fallback cond around
+            # the whole aggregation (see ops/wide_sweep.cost_volume_wide
+            # for why the cond must not sit at the per-view warp)
+            from ..ops.wide_sweep import cost_volume_wide
+            cost_volume = cost_volume_wide(feats, proj, src_idx,
+                                           reference_frame, ref_depths,
+                                           (fh, fw), agg_fn)
+        else:
+            warp_fns = [
+                (lambda i=i: warp_fn(feats[:, i], proj[:, i], ref_proj,
+                                     ref_depths, (fh, fw)))
+                for i in src_idx
+            ]
+            cost_volume = agg_fn(ref_feature, warp_fns)
 
         # layout fence: the 3D-reg convs want D-in-lanes layouts, and without
         # the barrier XLA propagates that layout up through the warp fusions,

@@ -91,8 +91,23 @@ def _octet_table(src: jnp.ndarray) -> jnp.ndarray:
     return t.reshape((h + 4) * (w + 4), G * c)
 
 
-def _octet_combine(src: jnp.ndarray, plan: dict) -> jnp.ndarray:
-    """Gather table rows and contract: [D,H,O,Q,G] @ [D,H,O,G,C]."""
+def _octet_combine(src: jnp.ndarray, plan: dict,
+                   combine: str = "mxu") -> jnp.ndarray:
+    """Gather table rows and contract with the one-hot bilinear weights.
+
+    The octet gather itself is 5x cheaper than the exact per-pixel gather
+    (7.5 vs 35 ms/view at bench sizes on v5e) but every combine lowering
+    tried gives the saving back — the per-pixel corner selection is the
+    hard part (BASELINE.md, warp-study round 3):
+      "mxu" (default): batched [Q x G] @ [G x C] one-hot einsum; XLA lowers
+        the 491K-batch tiny matmul at ~25 ms -> full warp 34 ms (tie).
+      "vpu": one-hot select of a concatenated 4C=128-lane corner chunk
+        (full vreg lanes, no tile padding) + one bilinear FMA; measured
+        42 ms of combine (53.6 total) — the 19-term masked-FMA chain does
+        not stream as one fusion.
+    A per-sublane dynamic lane-select primitive would solve this; XLA/
+    Mosaic expose none, so the exact gather path stays the model default.
+    """
     c = src.shape[-1]
     idx = plan["idx"]
     d, ho, o = idx.shape
@@ -103,17 +118,42 @@ def _octet_combine(src: jnp.ndarray, plan: dict) -> jnp.ndarray:
     w01 = (1.0 - fy) * fx * v
     w10 = fy * (1.0 - fx) * v
     w11 = fy * fx * v
-    giota = jnp.arange(G, dtype=jnp.float32)
-    gg = g00[..., None]
-    wmat = (w00[..., None] * (giota == gg)
-            + w01[..., None] * (giota == gg + 1.0)
-            + w10[..., None] * (giota == gg + GC)
-            + w11[..., None] * (giota == gg + GC + 1.0))
-    wmat = wmat.reshape(d, ho, o, Q, G).astype(dtype)
 
     rows = _octet_table(src).at[idx.reshape(-1)].get(
         mode="promise_in_bounds")  # in-bounds by construction
     rows = rows.reshape(d, ho, o, G, c)
+
+    if combine == "vpu":
+        # 128-lane chunk select: each pixel's four corners live at channel
+        # offsets [g00*C : (g00+2)*C] (top pair, contiguous) and
+        # [(g00+GC)*C : (g00+GC+2)*C] (bottom pair) of its octet row —
+        # one-hot over the 19 possible g00 values selects a concatenated
+        # 4C=128-lane chunk per pixel (full vreg lanes, no tile padding),
+        # then a single bilinear FMA finishes.  All steps are elementwise
+        # with >=128-lane minors, so XLA fuses them into one VPU loop over
+        # the gathered rows.
+        gq = g00.reshape(d, ho, o, Q)
+        rows_b = rows.reshape(d, ho, o, 1, G * c)
+        acc = None
+        for g in range(2 * GC - 1):  # g00 = ri*GC + ci, ri<=1, ci<=GC-2
+            lo = g * c
+            chunk = jnp.concatenate(
+                [rows_b[..., lo:lo + 2 * c],
+                 rows_b[..., lo + GC * c:lo + (GC + 2) * c]], axis=-1)
+            m = (gq == g).astype(dtype)[..., None]
+            term = m * chunk  # [d, ho, o, Q, 4c]
+            acc = term if acc is None else acc + term
+        wq = [w.reshape(d, ho, o, Q).astype(dtype)[..., None]
+              for w in (w00, w01, w10, w11)]
+        out = (wq[0] * acc[..., 0:c] + wq[1] * acc[..., c:2 * c]
+               + wq[2] * acc[..., 2 * c:3 * c] + wq[3] * acc[..., 3 * c:])
+        return out.reshape(d, ho, o * Q, c)
+
+    wmat = (w00[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None])
+            + w01[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None] + 1.0)
+            + w10[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None] + GC)
+            + w11[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None] + GC + 1.0))
+    wmat = wmat.reshape(d, ho, o, Q, G).astype(dtype)
     # TPU f32 dots default to bf16 passes; force full precision for f32
     # inputs so the fast path is bit-comparable to the gather there (bf16
     # inputs keep the fast default — rounding is already at input precision)
@@ -149,6 +189,78 @@ def octet_spans(xs: jnp.ndarray, ys: jnp.ndarray, h: int, w: int):
     """
     _, sx, sy = _octet_plan(xs, ys, h, w)
     return sx, sy
+
+
+def cost_volume_wide(feats: jnp.ndarray, proj: jnp.ndarray,
+                     src_idx: list, reference_frame: int,
+                     ref_depths: jnp.ndarray, ref_hw: tuple[int, int],
+                     agg_fn) -> jnp.ndarray:
+    """Aggregated cost volume with ONE octet-vs-exact cond per sample.
+
+    The per-view `plane_sweep_warp_wide` cond is the wrong boundary in a
+    model: XLA materializes each branch result — and hoists the caller's
+    f32 cast and the variance path's square into the branch, so every view
+    crosses the cond as TWO full-volume f32 buffers (~1 GB/view at bench
+    sizes, measured: it erases the octet path's entire gather saving).
+    Hoisting the cond around the whole aggregation means the only tensor
+    that crosses a branch boundary is the final feature-dtype cost volume
+    (which the caller materializes anyway — see the layout fence in
+    models/mvsnet.py), and the source coords are recomputed inside each
+    branch so the [D, H, W] coordinate planes are never materialized
+    either (the span check recomputes them into a scalar reduce).
+
+    Args:
+      feats: [B, N, h, w, C] view features.
+      proj: [B, N, 4, 4] projection matrices at feature resolution.
+      src_idx: source-view indices (reference excluded).
+      reference_frame: reference view index.
+      ref_depths: [B, D] reference depth hypotheses.
+      ref_hw: (H, W) reference feature grid; W % 8 == 0 for the octet path.
+      agg_fn: (ref_feature [B', h, w, C], warp_fns) -> [B', D, H, W, C]
+        aggregation closure (variance / softmin).
+    Returns:
+      [B, D, H, W, C] aggregated cost volume.
+    """
+    from .pallas_sweep import sweep_coords_from_projs
+    from .plane_sweep import plane_sweep_warp
+    b = feats.shape[0]
+    h, w = feats.shape[2:4]
+    if ref_hw[1] % Q != 0:
+        fns = [(lambda i=i: plane_sweep_warp(
+            feats[:, i], proj[:, i], proj[:, reference_frame], ref_depths,
+            ref_hw)) for i in src_idx]
+        return agg_fn(feats[:, reference_frame], fns)
+
+    outs = []
+    for bb in range(b):
+        fb = feats[bb:bb + 1]
+        pb = proj[bb:bb + 1]
+        db = ref_depths[bb:bb + 1]
+        rp = pb[:, reference_frame]
+
+        ok = None
+        for i in src_idx:
+            xs, ys = sweep_coords_from_projs(pb[0, i], rp[0], db[0], ref_hw)
+            _, sx, sy = _octet_plan(xs, ys, h, w)
+            fit = (sx <= Q) & (sy <= 1)
+            ok = fit if ok is None else (ok & fit)
+
+        def wide_branch(fb=fb, pb=pb, db=db, rp=rp):
+            def warp(i):
+                xs, ys = sweep_coords_from_projs(pb[0, i], rp[0], db[0],
+                                                 ref_hw)
+                return octet_sweep_warp(fb[0, i], xs, ys)[None]
+            return agg_fn(fb[:, reference_frame],
+                          [(lambda i=i: warp(i)) for i in src_idx])
+
+        def exact_branch(fb=fb, pb=pb, db=db, rp=rp):
+            return agg_fn(fb[:, reference_frame],
+                          [(lambda i=i: plane_sweep_warp(
+                              fb[:, i], pb[:, i], rp, db, ref_hw))
+                           for i in src_idx])
+
+        outs.append(jax.lax.cond(ok, wide_branch, exact_branch))
+    return jnp.concatenate(outs, axis=0) if b > 1 else outs[0]
 
 
 def plane_sweep_warp_wide(src_fea: jnp.ndarray, src_proj: jnp.ndarray,
