@@ -84,6 +84,13 @@ class MVSNet(nn.Module):
     # plane-sweep warp backend: "auto" (octet wide-gather at inference,
     # exact gather for training), "gather", "wide", or "pallas" (force)
     sweep_method: str = "auto"
+    # mesh axis name to shard the depth-hypothesis dimension over (the
+    # "hyp" slab sharding, SURVEY long-axis parallelism). When set, the
+    # cost volume is constrained to P(None, hyp_axis) — the warp + Σ/Σ²
+    # accumulation partition over depth slabs, and XLA inserts the
+    # cross-slab collectives for the softmax/regression. Requires an
+    # ambient mesh (jax.sharding.use_mesh) with that axis.
+    hyp_axis: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -161,6 +168,16 @@ class MVSNet(nn.Module):
                 for i in src_idx
             ]
             cost_volume = agg_fn(ref_feature, warp_fns)
+
+        if self.hyp_axis is not None:
+            from jax.sharding import PartitionSpec, get_abstract_mesh
+            # constrain only when an ambient mesh carries the axis, so the
+            # model still traces outside jax.set_mesh (e.g. at init)
+            mesh = get_abstract_mesh()
+            if mesh is not None and self.hyp_axis in getattr(
+                    mesh, "axis_names", ()):
+                cost_volume = jax.lax.with_sharding_constraint(
+                    cost_volume, PartitionSpec(None, self.hyp_axis))
 
         # layout fence: the 3D-reg convs want D-in-lanes layouts, and without
         # the barrier XLA propagates that layout up through the warp fusions,

@@ -31,6 +31,9 @@ class TrainConfig:
     debug: bool = False
     # model structure overrides (None -> architecture defaults)
     num_depth: int = 192               # mvsnet hypothesis count (model.py:98)
+    # mesh axis for depth-hypothesis slab sharding (mvsnet; requires an
+    # ambient jax.sharding.use_mesh with this axis)
+    hyp_axis: "str | None" = None
 
     def __post_init__(self):
         # constraint propagation, parity train.py:305-309

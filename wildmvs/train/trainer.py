@@ -67,6 +67,8 @@ def create_model(config: TrainConfig):
     kwargs = {}
     if config.architecture.startswith("mvsnet"):
         kwargs["num_depth"] = config.num_depth
+        if config.hyp_axis is not None:
+            kwargs["hyp_axis"] = config.hyp_axis
     return build_model(config.architecture, **kwargs)
 
 
