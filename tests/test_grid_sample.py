@@ -56,3 +56,17 @@ def test_identity_grid_reproduces_image(rng):
     grid = np.stack([gx, gy], -1)
     out = np.asarray(grid_sample(jnp.array(img), jnp.array(grid), align_corners=True))
     np.testing.assert_allclose(out, img, rtol=1e-5, atol=1e-5)
+
+
+def test_nan_coords_are_memory_safe():
+    # non-finite grid coords must not produce out-of-bounds reads (the
+    # gather is promised in-bounds); NaN propagates through the weights
+    import numpy as np
+    import jax.numpy as jnp
+    from wildmvs.ops.grid_sample import grid_sample_xy
+    img = jnp.ones((8, 10, 3), jnp.float32)
+    gx = jnp.array([[jnp.nan, jnp.inf], [-jnp.inf, 0.0]])
+    gy = jnp.array([[0.0, jnp.nan], [0.5, -0.5]])
+    out = np.asarray(grid_sample_xy(img, gx, gy))
+    assert out.shape == (2, 2, 3)
+    assert np.isfinite(out[1, 1]).all()  # the finite coord still samples

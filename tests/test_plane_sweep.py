@@ -168,3 +168,13 @@ def test_groupwise_correlation():
     assert out.shape == (2, 3, 4, 8)
     expect = (a.reshape(2, 3, 4, 8, 4) * b.reshape(2, 3, 4, 8, 4)).sum(-1)
     np.testing.assert_allclose(out, expect, rtol=1e-4)
+
+
+def test_variance_volume_zero_source_views():
+    # n=1 (reference only): variance of the reference alone is zero
+    import jax.numpy as jnp
+    from wildmvs.ops.volumes import variance_cost_volume
+    ref = jnp.ones((1, 4, 6, 8), jnp.float32)
+    cv = variance_cost_volume(ref, warp_fns=[], num_depth=5)
+    assert cv.shape == (1, 5, 4, 6, 8)
+    assert float(jnp.abs(cv).max()) == 0.0

@@ -81,8 +81,9 @@ class MVSNet(nn.Module):
     # featurizes all views in one batched call instead (identical at eval,
     # faster, but train-mode BN then normalizes across views)
     batched_bn: bool = False
-    # plane-sweep warp backend: "auto" (octet wide-gather at inference,
-    # exact gather for training), "gather", "wide", or "pallas" (force)
+    # plane-sweep warp backend: "auto" (= "gather", the measured-fastest
+    # exact path), "wide" (octet wide-gather w/ exact runtime fallback,
+    # inference only), or "pallas" (inference only) — see BASELINE.md
     sweep_method: str = "auto"
     # mesh axis name to shard the depth-hypothesis dimension over (the
     # "hyp" slab sharding, SURVEY long-axis parallelism). When set, the

@@ -14,9 +14,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def unnormalize_coords(grid: jnp.ndarray, h: int, w: int, align_corners: bool):
+def unnormalize_coords_xy(gx: jnp.ndarray, gy: jnp.ndarray, h: int, w: int,
+                          align_corners: bool):
     """[-1,1] NDC -> continuous pixel coords, torch grid_sample convention."""
-    gx, gy = grid[..., 0], grid[..., 1]
     if align_corners:
         x = (gx + 1.0) * 0.5 * (w - 1)
         y = (gy + 1.0) * 0.5 * (h - 1)
@@ -24,6 +24,12 @@ def unnormalize_coords(grid: jnp.ndarray, h: int, w: int, align_corners: bool):
         x = ((gx + 1.0) * w - 1.0) * 0.5
         y = ((gy + 1.0) * h - 1.0) * 0.5
     return x, y
+
+
+def unnormalize_coords(grid: jnp.ndarray, h: int, w: int, align_corners: bool):
+    """Stacked-grid form of `unnormalize_coords_xy`."""
+    return unnormalize_coords_xy(grid[..., 0], grid[..., 1], h, w,
+                                 align_corners)
 
 
 def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
@@ -69,12 +75,7 @@ def grid_sample_xy(img: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
     form at MVS cost-volume sizes.
     """
     h, w, c = img.shape
-    if align_corners:
-        x = (gx + 1.0) * 0.5 * (w - 1)
-        y = (gy + 1.0) * 0.5 * (h - 1)
-    else:
-        x = ((gx + 1.0) * w - 1.0) * 0.5
-        y = ((gy + 1.0) * h - 1.0) * 0.5
+    x, y = unnormalize_coords_xy(gx, gy, h, w, align_corners)
 
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
@@ -89,8 +90,14 @@ def grid_sample_xy(img: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray,
     # also land on ring zeros.
     padded = jnp.pad(img, ((2, 2), (2, 2), (0, 0)))
     ph, pw = h + 4, w + 4
-    iy = (jnp.clip(y0f, -2, h + 1) + 2).astype(jnp.int32)   # in [0, h+3]
-    ix = (jnp.clip(x0f, -2, w + 1) + 2).astype(jnp.int32)
+    # the float clip bounds finite coords; the integer clamp additionally
+    # bounds NaN/Inf inputs (astype(int32) of a NaN is backend-defined), so
+    # the promised-in-bounds gather below can never read out of bounds —
+    # NaN coords still yield NaN output through the weights
+    iy = jnp.clip((jnp.clip(y0f, -2, h + 1) + 2).astype(jnp.int32),
+                  0, h + 3)
+    ix = jnp.clip((jnp.clip(x0f, -2, w + 1) + 2).astype(jnp.int32),
+                  0, w + 3)
     img_r = jnp.roll(padded, -1, axis=1)
     img_d = jnp.roll(padded, -1, axis=0)
     img_dr = jnp.roll(img_d, -1, axis=1)

@@ -52,6 +52,10 @@ def variance_cost_volume(ref_feature: jnp.ndarray,
         sq = warped ** 2
         vol_sum = warped if vol_sum is None else vol_sum + warped
         vol_sq_sum = sq if vol_sq_sum is None else vol_sq_sum + sq
+    if vol_sum is None:
+        # zero source views: variance of the reference alone is zero
+        b, h, w, c = ref_feature.shape
+        return jnp.zeros((b, num_depth, h, w, c), out_dtype)
     vol_sum = vol_sum + ref_volume
     vol_sq_sum = vol_sq_sum + ref_volume ** 2
     cv = vol_sq_sum / num_views - (vol_sum / num_views) ** 2

@@ -91,22 +91,19 @@ def _octet_table(src: jnp.ndarray) -> jnp.ndarray:
     return t.reshape((h + 4) * (w + 4), G * c)
 
 
-def _octet_combine(src: jnp.ndarray, plan: dict,
-                   combine: str = "mxu") -> jnp.ndarray:
-    """Gather table rows and contract with the one-hot bilinear weights.
+def _octet_combine(src: jnp.ndarray, plan: dict) -> jnp.ndarray:
+    """Gather table rows and contract with the one-hot bilinear weights
+    (batched [Q x G] @ [G x C] einsum).
 
     The octet gather itself is 5x cheaper than the exact per-pixel gather
     (7.5 vs 35 ms/view at bench sizes on v5e) but every combine lowering
     tried gives the saving back — the per-pixel corner selection is the
-    hard part (BASELINE.md, warp-study round 3):
-      "mxu" (default): batched [Q x G] @ [G x C] one-hot einsum; XLA lowers
-        the 491K-batch tiny matmul at ~25 ms -> full warp 34 ms (tie).
-      "vpu": one-hot select of a concatenated 4C=128-lane corner chunk
-        (full vreg lanes, no tile padding) + one bilinear FMA; measured
-        42 ms of combine (53.6 total) — the 19-term masked-FMA chain does
-        not stream as one fusion.
-    A per-sublane dynamic lane-select primitive would solve this; XLA/
-    Mosaic expose none, so the exact gather path stays the model default.
+    hard part (BASELINE.md, warp-study round 3): this einsum lowers as a
+    491K-batch tiny matmul at ~25 ms (full warp 34 ms, a tie with the
+    exact gather); an unrolled per-group masked FMA and a 128-lane
+    chunk-select + bilinear FMA both measured slower.  A per-sublane
+    dynamic lane-select primitive would solve this; XLA/Mosaic expose
+    none, so the exact gather path stays the model default.
     """
     c = src.shape[-1]
     idx = plan["idx"]
@@ -123,36 +120,12 @@ def _octet_combine(src: jnp.ndarray, plan: dict,
         mode="promise_in_bounds")  # in-bounds by construction
     rows = rows.reshape(d, ho, o, G, c)
 
-    if combine == "vpu":
-        # 128-lane chunk select: each pixel's four corners live at channel
-        # offsets [g00*C : (g00+2)*C] (top pair, contiguous) and
-        # [(g00+GC)*C : (g00+GC+2)*C] (bottom pair) of its octet row —
-        # one-hot over the 19 possible g00 values selects a concatenated
-        # 4C=128-lane chunk per pixel (full vreg lanes, no tile padding),
-        # then a single bilinear FMA finishes.  All steps are elementwise
-        # with >=128-lane minors, so XLA fuses them into one VPU loop over
-        # the gathered rows.
-        gq = g00.reshape(d, ho, o, Q)
-        rows_b = rows.reshape(d, ho, o, 1, G * c)
-        acc = None
-        for g in range(2 * GC - 1):  # g00 = ri*GC + ci, ri<=1, ci<=GC-2
-            lo = g * c
-            chunk = jnp.concatenate(
-                [rows_b[..., lo:lo + 2 * c],
-                 rows_b[..., lo + GC * c:lo + (GC + 2) * c]], axis=-1)
-            m = (gq == g).astype(dtype)[..., None]
-            term = m * chunk  # [d, ho, o, Q, 4c]
-            acc = term if acc is None else acc + term
-        wq = [w.reshape(d, ho, o, Q).astype(dtype)[..., None]
-              for w in (w00, w01, w10, w11)]
-        out = (wq[0] * acc[..., 0:c] + wq[1] * acc[..., c:2 * c]
-               + wq[2] * acc[..., 2 * c:3 * c] + wq[3] * acc[..., 3 * c:])
-        return out.reshape(d, ho, o * Q, c)
-
-    wmat = (w00[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None])
-            + w01[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None] + 1.0)
-            + w10[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None] + GC)
-            + w11[..., None] * (jnp.arange(G, dtype=jnp.float32) == g00[..., None] + GC + 1.0))
+    giota = jnp.arange(G, dtype=jnp.float32)
+    gg = g00[..., None]
+    wmat = (w00[..., None] * (giota == gg)
+            + w01[..., None] * (giota == gg + 1.0)
+            + w10[..., None] * (giota == gg + GC)
+            + w11[..., None] * (giota == gg + GC + 1.0))
     wmat = wmat.reshape(d, ho, o, Q, G).astype(dtype)
     # TPU f32 dots default to bf16 passes; force full precision for f32
     # inputs so the fast path is bit-comparable to the gather there (bf16
