@@ -32,14 +32,6 @@ def unnormalize_coords(grid: jnp.ndarray, h: int, w: int, align_corners: bool):
                                  align_corners)
 
 
-def _gather_hw(img: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
-    """Gather img[iy, ix] with flat indices. img: [H, W, C]; iy/ix: [...]."""
-    h, w, c = img.shape
-    flat = img.reshape(h * w, c)
-    idx = iy * w + ix
-    return jnp.take(flat, idx.reshape(-1), axis=0).reshape(idx.shape + (c,))
-
-
 def grid_sample(img: jnp.ndarray, grid: jnp.ndarray,
                 align_corners: bool = True) -> jnp.ndarray:
     """Bilinear zero-padded sampling of a single image.
