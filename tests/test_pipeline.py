@@ -142,3 +142,59 @@ def test_native_kdtree_matches_scipy(rng):
             ref[idx[j]] = False
             ref[pid] = True
     assert np.array_equal(keep, ref)
+
+
+def test_fusion_max_reproj_error_gate(scene):
+    """The COLMAP-fusion back-projection gate: permissive threshold keeps GT
+    points; a tiny threshold kills all consistency votes."""
+    K, R, t = _cams(scene)
+    depths = np.stack(scene.depths)
+    pts_loose, _ = fuse_depthmaps(depths, K, R, t, disp_threshold=0.01,
+                                  num_consistent=3, max_reproj_error=3.0)
+    assert pts_loose.shape[0] > 500
+    pts_tight, _ = fuse_depthmaps(depths, K, R, t, disp_threshold=0.01,
+                                  num_consistent=3, max_reproj_error=1e-6)
+    assert pts_tight.shape[0] == 0
+
+
+def test_run_pipeline_upsample_and_filter_num_views(scene, tmp_path):
+    """End-to-end oracle pipeline with --upsample semantics: quarter-res
+    depthmaps are nearest-upsampled before filtering/fusion, filtering uses
+    filter_num_views sources, and the fused cloud lands on the GT plane."""
+    from wildmvs.pipeline.reconstruction import run_pipeline
+
+    # fake a model stage that wrote quarter-res depthmaps + probabilities
+    depth_dir = tmp_path / "IntRes" / "depthmaps" / "scene"
+    depth_dir.mkdir(parents=True)
+    for i in range(len(scene)):
+        s = scene[i]
+        name = s["filename"].replace("/", "_")
+        np.savez_compressed(depth_dir / f"{name}_out.npz",
+                            depthmap=scene.depths[i][::4, ::4],
+                            probability=np.ones_like(
+                                scene.depths[i][::4, ::4]))
+    # "oracle" skips the network; the pre-written npz files are kept as-is
+    res = run_pipeline(scene, tmp_path, architecture="oracle",
+                       scene="scene", upsample=True, filter_num_views=4,
+                       min_tri_angle=0.0, override=False)
+    assert res["num_points"] > 300
+
+
+def test_restore_params_partial(tmp_path):
+    """restore_params pulls only model variables out of a full train ckpt."""
+    import jax
+    from wildmvs.train.checkpoint import save_checkpoint, restore_params
+    from wildmvs.train.trainer import TrainState, make_optimizer
+    from wildmvs.train.config import TrainConfig
+
+    cfg = TrainConfig(dataset="synthetic")
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    stats = {"bn": {"mean": np.ones(3, np.float32)}}
+    tx = make_optimizer(cfg)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=stats, opt_state=tx.init(params), tx=tx)
+    path = save_checkpoint(tmp_path, 0, state, "mvsnet")
+    p2, s2, meta = restore_params(path, params, stats)
+    np.testing.assert_array_equal(p2["w"], params["w"])
+    np.testing.assert_array_equal(s2["bn"]["mean"], stats["bn"]["mean"])
+    assert meta["architecture"] == "mvsnet"

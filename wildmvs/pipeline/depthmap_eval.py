@@ -77,6 +77,11 @@ def main(argv=None):
     p.add_argument("--data_path", default=None)
     p.add_argument("--nb_imgs", type=int, default=5)
     p.add_argument("--out_dir", default="results")
+    p.add_argument("--process_index", type=int, default=0,
+                   help="this host's shard index (replaces --world_size "
+                        "mp.spawn sharding, depthmap_eval.py:95-96)")
+    p.add_argument("--process_count", type=int, default=1,
+                   help="total hosts sharding the view list")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     a = p.parse_args(argv)
@@ -103,11 +108,15 @@ def main(argv=None):
 
     model, variables, architecture, cvp_nscale = load_network(
         a.model, a.architecture, dataset[0], a.dataset)
-    res = evaluate(dataset, model, variables, cvp_nscale, debug=a.debug)
+    res = evaluate(dataset, model, variables, cvp_nscale,
+                   process_index=a.process_index,
+                   process_count=a.process_count, debug=a.debug)
     name = Path(a.model).name if a.model else architecture
     out = Path(a.out_dir) / f"{a.dataset}_depthmaps"
     out.mkdir(parents=True, exist_ok=True)
-    with open(out / f"{name}_{a.nb_imgs}.json", "w") as f:
+    suffix = (f"_{a.nb_imgs}" if a.process_count == 1
+              else f"_{a.nb_imgs}.part{a.process_index}")
+    with open(out / f"{name}{suffix}.json", "w") as f:
         json.dump(res, f)
     print(json.dumps(res))
 

@@ -81,8 +81,11 @@ def run_depthmaps(dataset, model, variables, out_dir: Path,
         args = tuple(jnp.asarray(sample[k])[None] for k in
                      ("imgs", "K", "R", "t", "depth_min", "depth_max"))
         depth, prob = fwd(*args)
-        np.savez_compressed(out_file, depthmap=np.asarray(depth[0]),
-                            probability=np.asarray(prob[0]))
+        # cast: bf16 eval outputs would round-trip through npz as raw void
+        np.savez_compressed(
+            out_file,
+            depthmap=np.asarray(depth[0], dtype=np.float32),
+            probability=np.asarray(prob[0], dtype=np.float32))
         if debug:
             return
     if process_index == 0:

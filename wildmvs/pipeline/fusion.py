@@ -31,11 +31,13 @@ from ..geometry.projective import pixel_grid, unproject
 
 
 @functools.partial(jax.jit, static_argnames=("disp_threshold",
-                                             "num_consistent"))
+                                             "num_consistent",
+                                             "max_reproj_error"))
 def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
                    used: jnp.ndarray, Ks: jnp.ndarray, Rs: jnp.ndarray,
                    ts: jnp.ndarray, disp_threshold: float = 0.01,
-                   num_consistent: int = 3):
+                   num_consistent: int = 3,
+                   max_reproj_error: float | None = None):
     """One reference view's fusion step.
 
     Args:
@@ -76,6 +78,15 @@ def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
                       & ~(i == ref_idx))
         src_pt = unproject(jnp.stack([ixc, iyc], -1).astype(depths.dtype),
                            Ks[i], Rs[i], ts[i], d_smp)
+        if max_reproj_error is not None:
+            # COLMAP stereo_fusion's extra gate (colmap_utils.py:396 /
+            # --fusion_max_reproj_error): the source point must land back
+            # within `max_reproj_error` px of the reference pixel
+            back = src_pt @ R0.T + t0[:, 0]
+            bpix = back @ K0.T
+            bproj = bpix[..., :2] / jnp.maximum(bpix[..., 2], 1e-6)[..., None]
+            consistent = consistent & (
+                jnp.linalg.norm(bproj - grid, axis=-1) < max_reproj_error)
         return consistent, src_pt, jnp.stack([ixc, iyc], -1)
 
     cons, pts, px = [], [], []
@@ -102,7 +113,8 @@ def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
 
 def fuse_depthmaps(depths: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
                    ts: np.ndarray, colors: np.ndarray | None = None,
-                   disp_threshold: float = 0.01, num_consistent: int = 3):
+                   disp_threshold: float = 0.01, num_consistent: int = 3,
+                   max_reproj_error: float | None = None):
     """Fuse all views' (pre-masked) depthmaps into one point cloud.
 
     Args:
@@ -121,7 +133,8 @@ def fuse_depthmaps(depths: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
     for r in range(n):
         point, keep, src_px, src_cons = _fuse_one_view(
             jnp.asarray(r), depths_j, jnp.asarray(used), Ks_j, Rs_j, ts_j,
-            disp_threshold=disp_threshold, num_consistent=num_consistent)
+            disp_threshold=disp_threshold, num_consistent=num_consistent,
+            max_reproj_error=max_reproj_error)
         keep_np = np.asarray(keep)
         all_pts.append(np.asarray(point)[keep_np])
         if colors is not None:

@@ -57,6 +57,12 @@ def load_network(model_dir: str | None, architecture: str | None,
     return model, variables, architecture, cvp_nscale
 
 
+def _upsample_nearest(depth: np.ndarray, factor: int) -> np.ndarray:
+    """Nearest-neighbour 2x/4x upsample (parity filtering.py:54-57
+    F.interpolate default mode)."""
+    return np.repeat(np.repeat(depth, factor, axis=0), factor, axis=1)
+
+
 def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                  architecture: str = "mvsnet", dataset_name: str = "synthetic",
                  scene: str = "scene", do_filter: bool = True,
@@ -65,7 +71,10 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                  num_consistent: int = 3, fusion_disp_threshold: float = 0.01,
                  fusion_num_consistent: int = 3, override: bool = False,
                  debug: bool = False, compute_metrics: bool = False,
-                 data_path: str | None = None) -> dict:
+                 data_path: str | None = None, upsample: bool = False,
+                 filter_num_views: int | None = None,
+                 chunked_eval: bool = False,
+                 fusion_max_reproj_error: float | None = None) -> dict:
     work_dir = Path(work_dir)
     depth_dir = work_dir / "IntRes" / "depthmaps" / scene
     filter_dir = work_dir / "IntRes" / "geometric_filtering" / scene
@@ -98,6 +107,12 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
     if do_filter and not (filter_dir / "finished.txt").exists() or override:
         filter_dir.mkdir(parents=True, exist_ok=True)
         import jax.numpy as jnp
+        # filtering may consider more source views than prediction did
+        # (parity reconstruction_pipeline.py:36 dataset.nviews =
+        # args.filter_num_views) — but never more than depthmaps exist for
+        old_nviews = getattr(dataset, "nviews", None)
+        if filter_num_views is not None and old_nviews is not None:
+            dataset.nviews = min(filter_num_views, len(dataset))
         for i in range(n):
             sample = dataset[i]
             npz = np.load(depth_dir / f"{names[i]}_out.npz")
@@ -106,6 +121,13 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             src_depths = np.stack([
                 np.load(depth_dir / f"{s}_out.npz")["depthmap"]
                 for s in src_names])
+            if upsample:
+                # filter at full image resolution (parity filtering.py:51-57)
+                factor = sample["imgs"].shape[1] // ref_depth.shape[0]
+                if factor > 1:
+                    ref_depth = _upsample_nearest(ref_depth, factor)
+                    src_depths = np.stack([_upsample_nearest(d, factor)
+                                           for d in src_depths])
             # camera scaled to the depthmap resolution
             scale = ref_depth.shape[0] / sample["imgs"].shape[1]
             K = sample["K"].copy()
@@ -122,6 +144,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                 **{k: np.asarray(v) for k, v in masks.items()})
             if debug:
                 break
+        if old_nviews is not None:
+            dataset.nviews = old_nviews
         if not debug:
             (filter_dir / "finished.txt").write_text(" ")
     if debug:
@@ -136,10 +160,22 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             sample = dataset[i]
             npz = np.load(depth_dir / f"{names[i]}_out.npz")
             depth = npz["depthmap"].copy()
+            prob = npz["probability"]
+            if upsample:
+                # fuse at full resolution (parity colmap_utils.py:363)
+                factor = sample["imgs"].shape[1] // depth.shape[0]
+                if factor > 1:
+                    depth = _upsample_nearest(depth, factor)
+                    prob = (np.stack([_upsample_nearest(p, factor)
+                                      for p in prob]) if prob.ndim > 2
+                            else _upsample_nearest(prob, factor))
             geo = None
             if do_filter:
                 geo = np.load(filter_dir / f"{names[i]}_out.npz")["geo_mask"]
-            invalid = get_mask_invalid(npz["probability"], prob_threshold, geo)
+                if geo.shape != depth.shape:
+                    f = depth.shape[0] // geo.shape[0]
+                    geo = _upsample_nearest(geo, f)
+            invalid = get_mask_invalid(prob, prob_threshold, geo)
             depth[invalid] = 0.0  # parity fusibile.py:152-158
             depths.append(depth)
             scale = depth.shape[0] / sample["imgs"].shape[1]
@@ -157,7 +193,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             np.stack(depths), np.stack(Ks), np.stack(Rs), np.stack(ts),
             colors=np.stack(colors),
             disp_threshold=fusion_disp_threshold,
-            num_consistent=fusion_num_consistent)
+            num_consistent=fusion_num_consistent,
+            max_reproj_error=fusion_max_reproj_error)
         write_ply(ply_path, points, colors=cols)
         results["num_points"] = int(points.shape[0])
     else:
@@ -172,7 +209,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
         pred = ply_xyz(ply_path)
         if dataset_name == "dtu":
             gt, mask, bb, res, plane = metrics3d.load_dtu_gt(data_path, scene)
-            raw = metrics3d.eval_dtu(pred, gt, mask, bb, float(res), plane)
+            raw = metrics3d.eval_dtu(pred, gt, mask, bb, float(res), plane,
+                                     chunked=chunked_eval)
             metrics3d.save_raw(work_dir / "IntRes" / "chamfer", scene, raw)
             results["metrics"] = metrics3d.summarize_dtu(raw)
         elif hasattr(dataset, "gt_points"):
@@ -197,6 +235,11 @@ def main(argv=None):
                    help="model architecture, or 'oracle' to use GT depths")
     p.add_argument("--data_path", default=None)
     p.add_argument("--work_dir", default="recon_out")
+    p.add_argument("--nviews", type=int, default=5,
+                   help="views per depthmap prediction")
+    p.add_argument("--upsample", action="store_true",
+                   help="upsample depthmaps to full resolution before "
+                        "filtering and fusion")
     p.add_argument("--filter", action="store_true", default=True)
     p.add_argument("--no_filter", dest="filter", action="store_false")
     p.add_argument("--prob_threshold", type=float, default=0.8)
@@ -204,23 +247,38 @@ def main(argv=None):
     p.add_argument("--depth_threshold", type=float, default=0.01)
     p.add_argument("--min_tri_angle", type=float, default=1.0)
     p.add_argument("--num_consistent", type=int, default=3)
+    p.add_argument("--filter_num_views", type=int, default=10,
+                   help="views considered while filtering")
+    p.add_argument("--fusion", default="native",
+                   choices=["native", "fusibile", "colmap", "simple"],
+                   help="all run the native TPU fusion kernel; 'colmap' "
+                        "additionally applies the reprojection-error gate")
     p.add_argument("--fusion_depth_threshold", type=float, default=0.01)
     p.add_argument("--fusion_num_consistent", type=int, default=3)
+    p.add_argument("--fusion_max_reproj_error", type=float, default=None,
+                   help="max back-projection error in px (colmap fusion "
+                        "semantics; default off)")
     p.add_argument("--compute_metrics", action="store_true")
+    p.add_argument("--chunked_eval", action="store_true",
+                   help="slower, low-memory DTU metric evaluation")
     p.add_argument("--override", action="store_true")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     a = p.parse_args(argv)
+    if a.fusion == "colmap" and a.fusion_max_reproj_error is None:
+        a.fusion_max_reproj_error = 1.0  # reference colmap-fusion default
     if a.platform:
         jax.config.update("jax_platforms",
                           "axon" if a.platform == "tpu" else a.platform)
 
     if a.dataset == "synthetic":
         from ..data.synthetic import SyntheticSceneDataset
-        dataset = SyntheticSceneDataset(num_views=5, height=64, width=96)
+        dataset = SyntheticSceneDataset(num_views=a.nviews, height=64,
+                                        width=96)
     else:
         from ..data import loaders
-        dataset = loaders.build_eval_dataset(a.dataset, a.data_path, a.scene)
+        dataset = loaders.build_eval_dataset(a.dataset, a.data_path, a.scene,
+                                             nviews=a.nviews)
 
     results = run_pipeline(
         dataset, Path(a.work_dir), model_dir=a.model,
@@ -232,7 +290,10 @@ def main(argv=None):
         fusion_disp_threshold=a.fusion_depth_threshold,
         fusion_num_consistent=a.fusion_num_consistent,
         override=a.override, debug=a.debug,
-        compute_metrics=a.compute_metrics, data_path=a.data_path)
+        compute_metrics=a.compute_metrics, data_path=a.data_path,
+        upsample=a.upsample, filter_num_views=a.filter_num_views,
+        chunked_eval=a.chunked_eval,
+        fusion_max_reproj_error=a.fusion_max_reproj_error)
     print(json.dumps(results, default=str))
 
 

@@ -69,10 +69,11 @@ def restore_params(path: str | Path, params_template, batch_stats_template):
     parity train.py:160-164 --loadckpt)."""
     ckptr = ocp.StandardCheckpointer()
     meta = load_metadata(path)
-    template = {"params": jax.tree.map(np.asarray, params_template),
-                "batch_stats": jax.tree.map(np.asarray, batch_stats_template)}
-    # restore only the model subtree (partial restore)
-    restored = ckptr.restore(
-        Path(path).resolve(),
-        ocp.args.StandardRestore(template, partial_restore=True))
-    return restored["params"], restored["batch_stats"], meta
+    # restore the raw tree (no template — templated partial restore is not
+    # available on all orbax versions) and select the model subtrees
+    restored = ckptr.restore(Path(path).resolve())
+    params = jax.tree.map(lambda t, r: np.asarray(r).astype(t.dtype),
+                          params_template, restored["params"])
+    batch_stats = jax.tree.map(lambda t, r: np.asarray(r).astype(t.dtype),
+                               batch_stats_template, restored["batch_stats"])
+    return params, batch_stats, meta

@@ -45,7 +45,41 @@ def batches(dataset, batch_size, order):
         yield {k: jnp.array(v) for k, v in b.items() if k != "filename"}
 
 
-def run(config: TrainConfig, max_epochs: int | None = None) -> dict:
+def make_mesh_step(config: TrainConfig, world_size: int):
+    """Multi-device train step. With occ_masking the `view` mesh axis carries
+    reference views (parity: 1 rank = 1 ref view, train.py:311-312); otherwise
+    the batch shards over `data` (parity: DistributedSampler + DDP)."""
+    from ..dist.mesh import make_mesh, replicate, shard_batch
+    devices = jax.devices()[:world_size]
+    if config.occ_masking and not config.supervised:
+        assert config.num_im_train % world_size == 0, (
+            "occ_masking needs num_im_train % world_size == 0 "
+            f"(got {config.num_im_train} vs {world_size}); parity train.py:311")
+        mesh = make_mesh(data=1, view=world_size, devices=devices)
+        from ..dist.view_parallel import make_view_parallel_train_step
+        step = make_view_parallel_train_step(mesh, config)
+    else:
+        assert config.batch_size % world_size == 0, (config.batch_size,
+                                                     world_size)
+        mesh = make_mesh(data=world_size, devices=devices)
+
+        def step(state, batch):
+            return T.train_step(state, shard_batch(batch, mesh), config)
+
+    def place(state):
+        return state.replace(step=replicate(state.step, mesh),
+                             params=replicate(state.params, mesh),
+                             batch_stats=replicate(state.batch_stats, mesh),
+                             opt_state=replicate(state.opt_state, mesh))
+
+    return step, place
+
+
+def run(config: TrainConfig, max_epochs: int | None = None,
+        world_size: int = 1, resume: bool = False,
+        loadckpt: str | None = None) -> dict:
+    assert not (resume and loadckpt), \
+        "--resume and --loadckpt are exclusive (parity train.py:298-299)"
     train_ds, val_ds, test_ds = build_datasets(config)
     rng = np.random.default_rng(config.seed)
 
@@ -55,11 +89,22 @@ def run(config: TrainConfig, max_epochs: int | None = None) -> dict:
 
     logdir = Path(config.logdir)
     start_epoch = 0
-    ckpt = latest_checkpoint(logdir)
-    if ckpt is not None:
+    if loadckpt:
+        # warm start: model variables only (parity train.py:160-164)
+        from .checkpoint import restore_params
+        params, batch_stats, _ = restore_params(
+            Path(loadckpt), state.params, state.batch_stats)
+        state = state.replace(params=params, batch_stats=batch_stats)
+        print(f"warm-started from {loadckpt}")
+    if resume and (ckpt := latest_checkpoint(logdir)) is not None:
         state = restore_checkpoint(ckpt, state)
         start_epoch = load_metadata(ckpt)["epoch"] + 1
         print(f"resumed from {ckpt} at epoch {start_epoch}")
+
+    mesh_step = None
+    if world_size > 1:
+        mesh_step, place = make_mesh_step(config, world_size)
+        state = place(state)
 
     logger = Logger(logdir)
     meters = MeterSet()
@@ -75,9 +120,14 @@ def run(config: TrainConfig, max_epochs: int | None = None) -> dict:
         t0 = time.time()
         ep_losses = []
         for i, batch in enumerate(batches(train_ds, config.batch_size, order)):
-            state, m = T.train_step(state, batch, config)
+            if mesh_step is not None:
+                state, m = mesh_step(state, batch)
+            else:
+                state, m = T.train_step(state, batch, config)
             ep_losses.append(float(m["train_loss"]))
             meters.update(m)
+            if (i + 1) % config.print_every == 0:
+                print(f"  iter {i + 1}: {meters.means()}")
             if config.debug:
                 break
         history["train_loss"].append(float(np.mean(ep_losses)))
@@ -135,8 +185,17 @@ def main(argv=None):
     sup.add_argument("--unsupervised", dest="supervised", action="store_false")
     p.set_defaults(supervised=True)
     p.add_argument("--logdir", default="trained_models/debug")
+    p.add_argument("--loadckpt", default=None,
+                   help="warm-start model variables from a checkpoint dir")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in logdir")
     p.add_argument("--save_freq", type=int, default=1)
+    p.add_argument("--print_every", type=int, default=20)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--world_size", type=int, default=1,
+                   help="number of devices: occ_masking shards reference "
+                        "views over a `view` mesh axis, otherwise the batch "
+                        "shards over `data`")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="override the jax platform (the image pins axon/TPU)")
@@ -144,14 +203,19 @@ def main(argv=None):
     if a.platform:
         jax.config.update("jax_platforms",
                           "axon" if a.platform == "tpu" else a.platform)
+    if a.supervised and a.dataset == "dtu" and not a.upsample_training:
+        # parity train.py:305-309: DTU GT depth is x4 downsampled
+        raise SystemExit("dtu supervised training requires "
+                         "--upsample_training (GT is x4 downsampled)")
     config = TrainConfig(
         architecture=a.architecture, dataset=a.dataset, supervised=a.supervised,
         occ_masking=a.occ_masking, upsample_training=a.upsample_training,
         num_im_train=a.num_im_train, batch_size=a.batch_size, epochs=a.epochs,
         lr=a.lr, lrepochs=a.lrepochs, weight_decay=a.wd,
         geom_clamping=a.geom_clamping, seed=a.seed, save_freq=a.save_freq,
-        logdir=a.logdir, debug=a.debug, num_depth=a.num_depth)
-    run(config)
+        print_every=a.print_every, logdir=a.logdir, debug=a.debug,
+        num_depth=a.num_depth)
+    run(config, world_size=a.world_size, resume=a.resume, loadckpt=a.loadckpt)
 
 
 if __name__ == "__main__":
