@@ -124,10 +124,20 @@ def run(config: TrainConfig, max_epochs: int | None = None,
                 state, m = mesh_step(state, batch)
             else:
                 state, m = T.train_step(state, batch, config)
+            depth_est = m.pop("depth_est", None)
             ep_losses.append(float(m["train_loss"]))
             meters.update(m)
             if (i + 1) % config.print_every == 0:
                 print(f"  iter {i + 1}: {meters.means()}")
+                # training-image panels (models/trainer.py:78-92 parity)
+                logger.plot_ims({"ref_img": np.asarray(batch["imgs"][0, 0])},
+                                prefix=f"e{epoch}_")
+                if depth_est is not None:
+                    logger.depth_panel(
+                        np.asarray(depth_est[0]),
+                        float(batch["depth_min"][0, 0]),
+                        float(batch["depth_max"][0, 0]),
+                        name=f"e{epoch}_depth_est")
             if config.debug:
                 break
         history["train_loss"].append(float(np.mean(ep_losses)))
@@ -196,6 +206,9 @@ def main(argv=None):
                    help="number of devices: occ_masking shards reference "
                         "views over a `view` mesh axis, otherwise the batch "
                         "shards over `data`")
+    p.add_argument("--trace", action="store_true",
+                   help="capture a jax.profiler trace of the run into "
+                        "logdir/jax_trace (view with xprof/TensorBoard)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="override the jax platform (the image pins axon/TPU)")
@@ -215,7 +228,9 @@ def main(argv=None):
         geom_clamping=a.geom_clamping, seed=a.seed, save_freq=a.save_freq,
         print_every=a.print_every, logdir=a.logdir, debug=a.debug,
         num_depth=a.num_depth)
-    run(config, world_size=a.world_size, resume=a.resume, loadckpt=a.loadckpt)
+    with profiler_trace(a.logdir, enabled=a.trace):
+        run(config, world_size=a.world_size, resume=a.resume,
+            loadckpt=a.loadckpt)
 
 
 if __name__ == "__main__":

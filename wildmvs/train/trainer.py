@@ -200,15 +200,18 @@ def train_step(state: TrainState, batch, config: TrainConfig):
             for r in range(n):
                 total = total + loss_from_outputs(outs[r], batch, config, r,
                                                   all_depthmaps=all_d)
-            return total / n, stats
+            return total / n, (stats, outs[0]["depth"])
         out, mut = model.apply(variables, *args, reference_frame=0,
                                train=True, mutable=["batch_stats"])
-        return loss_from_outputs(out, batch, config, 0), mut["batch_stats"]
+        return (loss_from_outputs(out, batch, config, 0),
+                (mut["batch_stats"], out["depth"]))
 
-    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-        state.params)
+    (loss, (new_stats, depth_est)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads, batch_stats=new_stats)
-    return state, {"train_loss": loss}
+    # depth_est rides along for image logging (models/trainer.py:78-92);
+    # callers pop it before scalar metric accumulation
+    return state, {"train_loss": loss, "depth_est": depth_est}
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
