@@ -1,0 +1,157 @@
+"""Native image pipeline: C++ JPEG/PNG decode + Lanczos resize + prefetch.
+
+Reference semantics under test: data/MVSDataset.py:102-118 (read_img —
+LANCZOS min-side-fit resize) and train.py:118-122 (DataLoader worker pool,
+replaced by data/prefetch.py).
+"""
+import numpy as np
+import pytest
+from PIL import Image
+
+from wildmvs import cpp
+from wildmvs.data import prefetch
+from wildmvs.data.loaders import read_image, read_images
+
+pytestmark = pytest.mark.skipif(not cpp.has_image_module(),
+                                reason="native image module not built")
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory):
+    d = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    # smooth-ish content (noise is the worst case for Lanczos ringing and
+    # not representative of photos)
+    base = rng.random((37, 53, 3))
+    arr = np.kron(base, np.ones((8, 8, 1)))[:290, :420]
+    arr = (arr * 255).astype(np.uint8)
+    Image.fromarray(arr).save(d / "a.png")
+    Image.fromarray(arr).save(d / "a.jpg", quality=95)
+    gray = (np.kron(rng.random((10, 12)), np.ones((8, 8))) * 255)
+    Image.fromarray(gray[:77, :91].astype(np.uint8)).save(d / "g.png")
+    Image.fromarray(arr).save(d / "a.bmp")  # exotic -> PIL fallback
+    return d
+
+
+def test_png_decode_exact(images):
+    (img, r), = cpp.load_images([images / "a.png"])
+    ref = np.asarray(Image.open(images / "a.png"), np.float32) / 255
+    assert img.shape == ref.shape and r == 1.0
+    np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_jpeg_decode_matches_pil(images):
+    (img, _), = cpp.load_images([images / "a.jpg"])
+    ref = np.asarray(Image.open(images / "a.jpg"), np.float32) / 255
+    # same libjpeg underneath; allow 1 LSB for IDCT variant differences
+    assert np.abs(img - ref).max() <= 1.5 / 255
+
+
+def test_gray_png_is_2d(images):
+    (img, _), = cpp.load_images([images / "g.png"])
+    ref = np.asarray(Image.open(images / "g.png"), np.float32) / 255
+    assert img.ndim == 2 and img.shape == ref.shape
+    np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_minside_resize_matches_pil_box_semantics(images):
+    th, tw = 128, 160
+    (img, r), = cpp.load_images([images / "a.png"], resize_to=(th, tw))
+    pil = Image.open(images / "a.png")
+    w, h = pil.size
+    rr = min(w / tw, h / th)
+    ref = np.asarray(pil.resize((int(w / rr), int(h / rr)), Image.LANCZOS),
+                     np.float32) / 255
+    assert img.shape == ref.shape
+    assert abs(r - rr) < 1e-5
+    d = np.abs(img - ref)
+    # PIL resamples through an 8-bit intermediate (clipping Lanczos
+    # overshoot between the passes); we stay float32, so isolated pixels at
+    # sharp edges differ by the clipped overshoot. Mean stays at LSB level.
+    assert d.mean() < 1.0 / 255 and d.max() < 0.08
+
+
+def test_read_image_native_vs_pil_paths(images, monkeypatch):
+    native, rn = read_image(images / "a.png", resize_to=(96, 96))
+    monkeypatch.setenv("WILDMVS_NATIVE_IO", "0")
+    pil, rp = read_image(images / "a.png", resize_to=(96, 96))
+    assert native.shape == pil.shape and abs(rn - rp) < 1e-5
+    assert np.abs(native - pil).mean() < 1.0 / 255
+
+
+def test_exotic_format_falls_back_to_pil(images):
+    img, r = read_image(images / "a.bmp")
+    ref = np.asarray(Image.open(images / "a.bmp"), np.float32) / 255
+    np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
+def test_batch_decode_parallel(images):
+    paths = [images / "a.png", images / "a.jpg", images / "g.png"] * 3
+    res = cpp.load_images(paths, threads=4)
+    assert len(res) == 9
+    for i in (0, 3, 6):
+        np.testing.assert_allclose(res[i][0], res[0][0])
+
+
+def test_batch_decode_missing_file_raises(images):
+    with pytest.raises(RuntimeError, match="missing"):
+        cpp.load_images([images / "missing.png"])
+
+
+def test_read_images_missing_file_fallback_raises(images):
+    # native raises -> PIL fallback also fails -> FileNotFoundError surfaces
+    with pytest.raises(FileNotFoundError):
+        read_images([images / "nope.jpg"])
+
+
+def test_native_resize_standalone():
+    rng = np.random.default_rng(1)
+    img = rng.random((40, 56, 3)).astype(np.float32)
+    out = cpp.resize_lanczos(img, 20, 28)
+    assert out.shape == (20, 28, 3)
+    # reduction by exactly 2x: compare against PIL on the uint8 grid
+    pil = Image.fromarray((img * 255).astype(np.uint8)).resize(
+        (28, 20), Image.LANCZOS)
+    ref = np.asarray(pil, np.float32) / 255
+    assert np.abs(np.clip(out, 0, 1) - ref).mean() < 2.0 / 255
+
+
+class _SlowDataset:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import time
+        time.sleep(0.01)
+        return {"x": np.full((2,), float(i))}
+
+
+def test_prefetch_preserves_order():
+    ds = _SlowDataset(17)
+    idx = np.random.default_rng(0).permutation(17)
+    got = [s["x"][0] for s in prefetch.iterate(ds, idx, num_workers=4)]
+    assert got == [float(i) for i in idx]
+
+
+def test_prefetch_inline_mode_identical():
+    ds = _SlowDataset(5)
+    idx = np.arange(5)
+    a = [s["x"][0] for s in prefetch.iterate(ds, idx, num_workers=0)]
+    b = [s["x"][0] for s in prefetch.iterate(ds, idx, num_workers=3)]
+    assert a == b
+
+
+def test_prefetch_batches_drop_last():
+    ds = _SlowDataset(10)
+
+    def collate(samples):
+        return {"x": np.stack([s["x"] for s in samples])}
+
+    out = list(prefetch.iterate_batches(ds, np.arange(10), 4, collate,
+                                        num_workers=2))
+    assert len(out) == 2  # 10 // 4, drop-last (train.py:118 drop_last=True)
+    assert out[0]["x"].shape == (4, 2)
+    np.testing.assert_allclose(out[1]["x"][:, 0], [4, 5, 6, 7])

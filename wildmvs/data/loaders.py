@@ -22,21 +22,43 @@ from .codecs import read_cam_txt, read_pair_txt, read_pfm
 MULTI = 32  # resolutions must be multiples of 32 (MVSDataset.py:28)
 
 
+def _native_io_enabled() -> bool:
+    import os
+    return os.environ.get("WILDMVS_NATIVE_IO", "1") != "0"
+
+
 def read_image(path, resize_to: tuple | None = None):
     """Load an image -> float32 [H, W, 3] in [0,1]; optional min-side resize
     (LANCZOS) like MVSDataset.read_img (MVSDataset.py:102-118).
 
     Returns (img, resize_ratio r) with r as the reference defines it
-    (original / resized)."""
+    (original / resized). JPEG/PNG route through the native C++ decoder
+    (wildmvs/cpp/image.cpp) when built; anything else (or
+    WILDMVS_NATIVE_IO=0) falls back to PIL."""
+    return read_images([path], resize_to)[0]
+
+
+def read_images(paths, resize_to: tuple | None = None):
+    """Batched read_image: one native call decodes + resizes all files on a
+    thread pool (the C call releases the GIL). Returns [(img, r), ...]."""
+    if _native_io_enabled():
+        from .. import cpp
+        try:
+            return cpp.load_images(paths, resize_to)
+        except RuntimeError:
+            pass  # module unavailable or exotic format -> PIL
     from PIL import Image
-    img = Image.open(path)
-    r = 1.0
-    if resize_to is not None:
-        w, h = img.size
-        th, tw = resize_to
-        r = min(w / tw, h / th)
-        img = img.resize((int(w / r), int(h / r)), resample=Image.LANCZOS)
-    return np.asarray(img, dtype=np.float32) / 255.0, r
+    out = []
+    for path in paths:
+        img = Image.open(path)
+        r = 1.0
+        if resize_to is not None:
+            w, h = img.size
+            th, tw = resize_to
+            r = min(w / tw, h / th)
+            img = img.resize((int(w / r), int(h / r)), resample=Image.LANCZOS)
+        out.append((np.asarray(img, dtype=np.float32) / 255.0, r))
+    return out
 
 
 def center_crop(im: np.ndarray, K: np.ndarray | None = None,
@@ -148,11 +170,12 @@ class DTUTrainDataset:
         imgs, Ks, Rs, ts = [], [], [], []
         depth = mask = None
         depth_min = depth_max = 0.0
+        decoded = read_images([  # one native call, all views in parallel
+            self.datapath / "Rectified" / f"{scan}_train"
+            / f"rect_{vid + 1:03d}_{light}_r5000.png" for vid in view_ids])
         for i, vid in enumerate(view_ids):
-            img_file = (self.datapath / "Rectified" / f"{scan}_train"
-                        / f"rect_{vid + 1:03d}_{light}_r5000.png")
             cam_file = self.datapath / "Cameras" / "train" / f"{vid:08d}_cam.txt"
-            im, _ = read_image(img_file)
+            im, _ = decoded[i]
             K, R, t, dmin, dint = read_yao_cam(cam_file)
             K = K.copy()
             K[:2] *= 4  # stored at 1/4 res (dtu_yao.py:107)
@@ -237,10 +260,11 @@ class MegaDepthDataset:
             with h5py.File(sp / f"depth_{cpt}.h5", "r") as f:
                 depth = np.array(f["depth"], np.float32)
         imgs = []
+        decoded = read_images([sp / f"im_{cpt}_{v}.jpg" for v in range(n)],
+                              resize_to=(512, 512) if self.mode == "train"
+                              else None)
         for v in range(n):
-            im, r = read_image(sp / f"im_{cpt}_{v}.jpg",
-                               resize_to=(512, 512) if self.mode == "train"
-                               else None)
+            im, r = decoded[v]
             newK = rescale_calib(r, K[v])
             if depth is not None and v == 0:
                 # nearest-resize depth to the image, then crop together
@@ -319,6 +343,11 @@ class BlendedMVSDataset:
         view_ids = [ref] + srcs[:self.nviews - 1]
         imgs, Ks, Rs, ts, ranges = [], [], [], [], []
         depth = None
+        decoded = None
+        if not self.augment:
+            decoded = read_images([
+                self.datapath / scene / "blended_images" / f"{vid:08d}.jpg"
+                for vid in view_ids])
         for i, vid in enumerate(view_ids):
             name = f"{vid:08d}"
             img_file = self.datapath / scene / "blended_images" / f"{name}.jpg"
@@ -327,7 +356,7 @@ class BlendedMVSDataset:
                 pil = Image.open(img_file)
                 im = augment_image(pil, self.rng)
             else:
-                im, _ = read_image(img_file)
+                im, _ = decoded[i]
             K, R, t, dmin, dint = self._read_cam(
                 self.datapath / scene / "cams" / f"{name}_cam.txt")
             if i == 0:
@@ -378,11 +407,12 @@ class DTUEvalDataset:
         view_ids = [ref] + srcs[:self.nviews - 1]
         imgs, Ks, Rs, ts = [], [], [], []
         dmin = dmax = 0.0
+        decoded = read_images([
+            self.datapath / self.scan / "images" / f"{vid:08d}.jpg"
+            for vid in view_ids])
         for i, vid in enumerate(view_ids):
-            img_file = (self.datapath / self.scan / "images"
-                        / f"{vid:08d}.jpg")
             cam_file = self.datapath / "Cameras" / f"{vid:08d}_cam.txt"
-            im, _ = read_image(img_file)
+            im, _ = decoded[i]
             K, R, t, d0, dint = read_yao_cam(cam_file)
             im, K = center_crop(im, K=K, mode="test")
             imgs.append(im)
@@ -424,8 +454,8 @@ class YFCCSceneDataset:
         self.depth_min, self.depth_max = compute_min_max_depth(
             points3d, images, self.K, self.R, self.t)
         self.imgs = []
-        for n in self.names:
-            im, _ = read_image(self.datapath / "images" / scene / n)
+        for im, _ in read_images(
+                [self.datapath / "images" / scene / n for n in self.names]):
             (im,) = center_crop(im, mode="test")
             self.imgs.append(im)
 

@@ -38,10 +38,13 @@ def build_datasets(config: TrainConfig):
     return loaders.build_datasets(config)
 
 
-def batches(dataset, batch_size, order):
-    for start in range(0, len(order) - batch_size + 1, batch_size):
-        idxs = order[start:start + batch_size]
-        b = collate([dataset[int(i)] for i in idxs])
+def batches(dataset, batch_size, order, num_workers: int = 0):
+    """Batch iterator; num_workers > 0 overlaps sample loading with the
+    device step through the native prefetch pipeline (data/prefetch.py —
+    the reference's DataLoader worker pool, train.py:118-122)."""
+    from ..data.prefetch import iterate_batches
+    for b in iterate_batches(dataset, order, batch_size, collate,
+                             num_workers=num_workers):
         yield {k: jnp.array(v) for k, v in b.items() if k != "filename"}
 
 
@@ -119,7 +122,8 @@ def run(config: TrainConfig, max_epochs: int | None = None,
             len(train_ds))
         t0 = time.time()
         ep_losses = []
-        for i, batch in enumerate(batches(train_ds, config.batch_size, order)):
+        for i, batch in enumerate(batches(train_ds, config.batch_size, order,
+                                          num_workers=config.num_workers)):
             if mesh_step is not None:
                 state, m = mesh_step(state, batch)
             else:
@@ -151,14 +155,16 @@ def run(config: TrainConfig, max_epochs: int | None = None,
             save_checkpoint(logdir, epoch, state, config.architecture)
             v_losses = []
             for i, batch in enumerate(batches(val_ds, config.batch_size,
-                                              np.arange(len(val_ds)))):
+                                              np.arange(len(val_ds)),
+                                              num_workers=config.num_workers)):
                 v_losses.append(float(T.eval_step(state, batch, config)["val_loss"]))
                 if config.debug:
                     break
             history["val_loss"].append(float(np.mean(v_losses)))
             t_metrics = []
             for i, batch in enumerate(batches(test_ds, 1,
-                                              np.arange(len(test_ds)))):
+                                              np.arange(len(test_ds)),
+                                              num_workers=config.num_workers)):
                 t_metrics.append({k: float(v) for k, v in
                                   T.test_step(state, batch, config).items()})
                 if config.debug:
@@ -206,6 +212,9 @@ def main(argv=None):
                    help="number of devices: occ_masking shards reference "
                         "views over a `view` mesh axis, otherwise the batch "
                         "shards over `data`")
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="prefetch threads for sample loading (0 = inline; "
+                        "parity train.py:120's 8 DataLoader workers)")
     p.add_argument("--trace", action="store_true",
                    help="capture a jax.profiler trace of the run into "
                         "logdir/jax_trace (view with xprof/TensorBoard)")
@@ -227,7 +236,7 @@ def main(argv=None):
         lr=a.lr, lrepochs=a.lrepochs, weight_decay=a.wd,
         geom_clamping=a.geom_clamping, seed=a.seed, save_freq=a.save_freq,
         print_every=a.print_every, logdir=a.logdir, debug=a.debug,
-        num_depth=a.num_depth)
+        num_depth=a.num_depth, num_workers=a.num_workers)
     with profiler_trace(a.logdir, enabled=a.trace):
         run(config, world_size=a.world_size, resume=a.resume,
             loadckpt=a.loadckpt)

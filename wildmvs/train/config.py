@@ -29,6 +29,8 @@ class TrainConfig:
     print_every: int = 20
     logdir: str = "trained_models/debug"
     debug: bool = False
+    num_workers: int = 4               # prefetch threads (train.py:120's 8
+    # worker processes; our decode is native+GIL-free so threads suffice)
     # model structure overrides (None -> architecture defaults)
     num_depth: int = 192               # mvsnet hypothesis count (model.py:98)
     # mesh axis for depth-hypothesis slab sharding (mvsnet; requires an
