@@ -180,6 +180,37 @@ def test_run_pipeline_upsample_and_filter_num_views(scene, tmp_path):
     assert res["num_points"] > 300
 
 
+def test_classic_depthmap_recovers_plane(scene):
+    """The non-learned ZNCC plane-sweep baseline (the reference's --colmap
+    patch-match role) recovers the synthetic scene's plane depth."""
+    import jax.numpy as jnp
+    from wildmvs.pipeline.classic import classic_depthmap
+
+    s = scene[0]
+    depth, conf = classic_depthmap(
+        jnp.asarray(s["imgs"][None]), jnp.asarray(s["K"][None]),
+        jnp.asarray(s["R"][None]), jnp.asarray(s["t"][None]),
+        jnp.asarray(s["depth_min"][None]), jnp.asarray(s["depth_max"][None]),
+        num_depth=64, window=5, downscale=1)
+    depth = np.asarray(depth[0])
+    gt = scene.depths[0]
+    mask = np.asarray(s["mask"]) > 0.5
+    rel = np.abs(depth - gt)[mask] / gt[mask]
+    assert np.isfinite(depth).all()
+    assert np.median(rel) < 0.03, np.median(rel)
+    assert 0.0 <= float(np.asarray(conf).min()) \
+        and float(np.asarray(conf).max()) <= 1.0
+
+
+def test_classic_pipeline_end_to_end(scene, tmp_path):
+    """--classic stage 1 feeds stages 2-4 unchanged."""
+    from wildmvs.pipeline.reconstruction import run_pipeline
+
+    res = run_pipeline(scene, tmp_path, architecture="classic",
+                       scene="scene", min_tri_angle=0.0)
+    assert res["num_points"] > 100
+
+
 def test_restore_params_partial(tmp_path):
     """restore_params pulls only model variables out of a full train ckpt."""
     import jax

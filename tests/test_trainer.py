@@ -42,6 +42,23 @@ def test_supervised_training_reduces_loss():
     assert losses[-1] < losses[0], losses
 
 
+def test_bf16_mixed_precision_training():
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=True, num_depth=16, lr=1e-3,
+                      train_dtype="bfloat16")
+    batch = make_batch()
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    # params and batch stats stay f32 (mixed precision: bf16 compute only)
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(p.dtype == jnp.float32 for p in leaves)
+    losses = []
+    for _ in range(6):
+        state, m = T.train_step(state, batch, cfg)
+        losses.append(float(m["train_loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
+
+
 def test_unsupervised_training_runs():
     cfg = TrainConfig(architecture="mvsnet-s", dataset="synthetic",
                       supervised=False, num_depth=16)

@@ -24,8 +24,10 @@ def main():
     from wildmvs.train.trainer import create_train_state, train_step
 
     arch = sys.argv[1] if len(sys.argv) > 1 else "mvsnet"
+    dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
     config = TrainConfig(architecture=arch, dataset="synthetic",
-                         supervised=True, batch_size=1, num_im_train=3)
+                         supervised=True, batch_size=1, num_im_train=3,
+                         train_dtype=dtype)
     ds = SyntheticMVSDataset(num_samples=2, num_views=3, height=512,
                              width=640, seed=0)
     batch = collate([ds[0]])
@@ -47,7 +49,7 @@ def main():
         float(metrics["train_loss"])
         best = min(best, time.perf_counter() - t0)
     # per-dispatch RTT (~33 ms x ITERS) is included; report both
-    print(f"{arch} train step (512x640 D192 N3 B1): "
+    print(f"{arch} [{dtype}] train step (512x640 D192 N3 B1): "
           f"{best / ITERS * 1e3:.1f} ms/step incl. ~33 ms dispatch RTT")
 
 

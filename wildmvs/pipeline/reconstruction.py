@@ -94,6 +94,12 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             if not f.exists() or override:
                 np.savez_compressed(f, depthmap=s["depth"],
                                     probability=np.ones_like(s["depth"]))
+    elif architecture == "classic":
+        # non-learned ZNCC plane-sweep baseline (the reference's --colmap
+        # patch-match role, reconstruction_pipeline.py:30-31)
+        from .classic import run_classic_depthmaps
+        run_classic_depthmaps(dataset, depth_dir, override=override,
+                              debug=debug)
     else:
         model, variables, architecture, cvp_nscale = load_network(
             model_dir, architecture, sample0, dataset_name)
@@ -118,6 +124,21 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             npz = np.load(depth_dir / f"{names[i]}_out.npz")
             ref_depth = npz["depthmap"]
             src_names = [s.replace("/", "_") for s in sample["src_filenames"]]
+            sample_K, sample_R, sample_t = (sample["K"], sample["R"],
+                                            sample["t"])
+            if debug:
+                # debug stage 1 only wrote the first depthmap(s) — filter
+                # against whatever exists (one-iteration smoke semantics,
+                # reconstruction_pipeline.py:35-39), subsetting the cams
+                keep = [j for j, s in enumerate(src_names)
+                        if (depth_dir / f"{s}_out.npz").exists()]
+                if not keep:
+                    break
+                src_names = [src_names[j] for j in keep]
+                rows = [0] + [j + 1 for j in keep]
+                sample_K, sample_R, sample_t = (sample_K[rows],
+                                                sample_R[rows],
+                                                sample_t[rows])
             src_depths = np.stack([
                 np.load(depth_dir / f"{s}_out.npz")["depthmap"]
                 for s in src_names])
@@ -130,12 +151,12 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                                            for d in src_depths])
             # camera scaled to the depthmap resolution
             scale = ref_depth.shape[0] / sample["imgs"].shape[1]
-            K = sample["K"].copy()
+            K = sample_K.copy()
             K[:, :2] *= scale
             masks = geometric_filter(
                 jnp.asarray(ref_depth), jnp.asarray(src_depths),
-                jnp.asarray(K), jnp.asarray(sample["R"]),
-                jnp.asarray(sample["t"]),
+                jnp.asarray(K), jnp.asarray(sample_R),
+                jnp.asarray(sample_t),
                 max_reproj_error=max_reproj_error,
                 depth_threshold=depth_threshold,
                 min_tri_angle=min_tri_angle, num_consistent=num_consistent)
@@ -232,7 +253,13 @@ def main(argv=None):
     p.add_argument("--scene", default="scene")
     p.add_argument("--model", default=None, help="trained model dir")
     p.add_argument("--architecture", default="mvsnet",
-                   help="model architecture, or 'oracle' to use GT depths")
+                   help="model architecture, 'oracle' (GT depths), or "
+                        "'classic' (non-learned ZNCC plane sweep — the "
+                        "TPU-native stand-in for the reference's --colmap "
+                        "patch-match baseline, colmap_utils.py:282-322)")
+    p.add_argument("--classic", action="store_true",
+                   help="shorthand for --architecture classic (parity with "
+                        "the reference's --colmap flag, pipeline_utils.py:40)")
     p.add_argument("--data_path", default=None)
     p.add_argument("--work_dir", default="recon_out")
     p.add_argument("--nviews", type=int, default=5,
@@ -265,6 +292,11 @@ def main(argv=None):
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     a = p.parse_args(argv)
+    if a.classic:
+        assert a.model is None, \
+            "cannot use both a model and --classic (parity " \
+            "pipeline_utils.py:70)"
+        a.architecture = "classic"
     if a.fusion == "colmap" and a.fusion_max_reproj_error is None:
         a.fusion_max_reproj_error = 1.0  # reference colmap-fusion default
     if a.platform:

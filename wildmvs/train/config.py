@@ -31,6 +31,9 @@ class TrainConfig:
     debug: bool = False
     num_workers: int = 4               # prefetch threads (train.py:120's 8
     # worker processes; our decode is native+GIL-free so threads suffice)
+    # mixed precision: compute dtype for the network (params, batch stats,
+    # optimizer state and the loss stay f32 — MXU-native bf16 matmuls/convs)
+    train_dtype: str = "float32"       # float32 | bfloat16
     # model structure overrides (None -> architecture defaults)
     num_depth: int = 192               # mvsnet hypothesis count (model.py:98)
     # mesh axis for depth-hypothesis slab sharding (mvsnet; requires an

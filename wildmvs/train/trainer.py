@@ -69,6 +69,8 @@ def create_model(config: TrainConfig):
         kwargs["num_depth"] = config.num_depth
         if config.hyp_axis is not None:
             kwargs["hyp_axis"] = config.hyp_axis
+    if config.train_dtype == "bfloat16":
+        kwargs["dtype"] = jnp.bfloat16
     return build_model(config.architecture, **kwargs)
 
 
