@@ -36,6 +36,24 @@ def save_checkpoint(logdir: str | Path, epoch: int, state, architecture: str,
     return path
 
 
+def save_params(out_dir: str | Path, params, batch_stats, architecture: str,
+                epoch: int = 0) -> Path:
+    """Write a model-variables-only checkpoint (no optimizer state) in the
+    standard layout — used by the torch-checkpoint importer; loadable via
+    restore_params / the eval pipeline's load_network."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    path = (out_dir / f"model_{epoch:06d}").resolve()
+    ckptr = ocp.StandardCheckpointer()
+    tree = {"params": params, "batch_stats": batch_stats}
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    (path / "metadata.json").write_text(json.dumps(
+        {"epoch": epoch, "architecture": architecture,
+         "imported_from": "torch"}))
+    return path
+
+
 def latest_checkpoint(logdir: str | Path) -> Optional[Path]:
     """Highest-numbered model_* dir. Parity: train.py:151-155."""
     logdir = Path(logdir)
