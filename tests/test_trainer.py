@@ -59,6 +59,24 @@ def test_bf16_mixed_precision_training():
     assert losses[-1] < losses[0], losses
 
 
+def test_remat_matches_plain_training():
+    """jax.checkpoint must not change the computed gradients: a remat step
+    and a plain step from the same state produce identical losses."""
+    batch = make_batch()
+    results = []
+    for remat in (False, True):
+        cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                          supervised=True, num_depth=16, lr=1e-3,
+                          remat=remat)
+        state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+        losses = []
+        for _ in range(3):
+            state, m = T.train_step(state, batch, cfg)
+            losses.append(float(m["train_loss"]))
+        results.append(losses)
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-5)
+
+
 def test_unsupervised_training_runs():
     cfg = TrainConfig(architecture="mvsnet-s", dataset="synthetic",
                       supervised=False, num_depth=16)

@@ -212,6 +212,9 @@ def main(argv=None):
                    help="number of devices: occ_masking shards reference "
                         "views over a `view` mesh axis, otherwise the batch "
                         "shards over `data`")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the forward in the backward pass "
+                        "(jax.checkpoint) to cut activation memory")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (f32 params/optimizer) — "
                         "MXU-native mixed-precision training")
@@ -240,7 +243,7 @@ def main(argv=None):
         geom_clamping=a.geom_clamping, seed=a.seed, save_freq=a.save_freq,
         print_every=a.print_every, logdir=a.logdir, debug=a.debug,
         num_depth=a.num_depth, num_workers=a.num_workers,
-        train_dtype="bfloat16" if a.bf16 else "float32")
+        train_dtype="bfloat16" if a.bf16 else "float32", remat=a.remat)
     with profiler_trace(a.logdir, enabled=a.trace):
         run(config, world_size=a.world_size, resume=a.resume,
             loadckpt=a.loadckpt)

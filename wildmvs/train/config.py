@@ -34,6 +34,9 @@ class TrainConfig:
     # mixed precision: compute dtype for the network (params, batch stats,
     # optimizer state and the loss stay f32 — MXU-native bf16 matmuls/convs)
     train_dtype: str = "float32"       # float32 | bfloat16
+    # rematerialize the forward in the backward (jax.checkpoint): frees
+    # cost-volume activations for larger batches/resolutions
+    remat: bool = False
     # model structure overrides (None -> architecture defaults)
     num_depth: int = 192               # mvsnet hypothesis count (model.py:98)
     # mesh axis for depth-hypothesis slab sharding (mvsnet; requires an

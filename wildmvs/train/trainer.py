@@ -179,6 +179,16 @@ def train_step(state: TrainState, batch, config: TrainConfig):
     average over ranks r = 0..N-1 on an identical batch)."""
     model = create_model(config)
 
+    def make_apply(**static_kw):
+        """model.apply with static kwargs closed over; with config.remat the
+        forward is rematerialized in the backward pass — trades one extra
+        forward for not keeping cost-volume-sized activations live
+        (jax.checkpoint; the torch analogue would be checkpoint_sequential,
+        which the reference does not use)."""
+        def f(variables, *args):
+            return model.apply(variables, *args, **static_kw)
+        return jax.checkpoint(f) if config.remat else f
+
     def loss_fn(params):
         variables = {"params": params, "batch_stats": state.batch_stats}
         args = forward_args(batch, config)
@@ -190,8 +200,9 @@ def train_step(state: TrainState, batch, config: TrainConfig):
             for r in range(n):
                 # every forward updates BN batch stats; keep r=0's (the
                 # reference's DDP broadcasts rank 0's buffers)
-                out_r, mut = model.apply(variables, *args, reference_frame=r,
-                                         train=True, mutable=["batch_stats"])
+                out_r, mut = make_apply(reference_frame=r, train=True,
+                                        mutable=["batch_stats"])(
+                    variables, *args)
                 if r == 0:
                     stats = mut["batch_stats"]
                 outs.append(out_r)
@@ -203,8 +214,8 @@ def train_step(state: TrainState, batch, config: TrainConfig):
                 total = total + loss_from_outputs(outs[r], batch, config, r,
                                                   all_depthmaps=all_d)
             return total / n, (stats, outs[0]["depth"])
-        out, mut = model.apply(variables, *args, reference_frame=0,
-                               train=True, mutable=["batch_stats"])
+        out, mut = make_apply(reference_frame=0, train=True,
+                              mutable=["batch_stats"])(variables, *args)
         return (loss_from_outputs(out, batch, config, 0),
                 (mut["batch_stats"], out["depth"]))
 
