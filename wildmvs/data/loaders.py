@@ -485,8 +485,9 @@ def scene_list(name: str) -> list[str]:
 def build_datasets(config):
     """(train, val, test) datasets for a TrainConfig. Parity: train.py:67-104."""
     nv = config.num_im_train
+    override = getattr(config, "data_path", None)
     if config.dataset == "dtu":
-        root = Path("datasets/dtu_training")
+        root = Path(override or "datasets/dtu_training")
         train = DTUTrainDataset(root, scene_list("dtu_train"), "train", nv,
                                 return_depth=config.supervised)
         val = DTUTrainDataset(root, scene_list("dtu_val"), "val", nv,
@@ -494,7 +495,7 @@ def build_datasets(config):
         test = DTUTrainDataset(root, scene_list("dtu_val"), "test", 5)
         return train, val, test
     if config.dataset == "md":
-        root = Path("datasets/megadepth")
+        root = Path(override or "datasets/megadepth")
         train = MegaDepthDataset(root, scene_list("md_train"), "train", nv,
                                  return_depth=config.supervised)
         val = MegaDepthDataset(root, scene_list("md_train"), "val", nv,
@@ -502,7 +503,7 @@ def build_datasets(config):
         test = MegaDepthDataset(root, scene_list("md_test"), "test", 5)
         return train, val, test
     if config.dataset == "blended":
-        root = Path("datasets/BlendedMVS")
+        root = Path(override or "datasets/BlendedMVS")
         train = BlendedMVSDataset(root, scene_list("blended_train"), "train",
                                   nv, return_depth=config.supervised)
         val = BlendedMVSDataset(root, scene_list("blended_val"), "val", nv,

@@ -193,7 +193,11 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--num_im_train", type=int, default=3)
     p.add_argument("--num_depth", type=int, default=192)
-    p.add_argument("--upsample_training", action="store_true")
+    p.add_argument("--upsample_training", action="store_true",
+                   dest="upsample_training")
+    p.add_argument("--no_upsample_training", action="store_false",
+                   dest="upsample_training")
+    p.set_defaults(upsample_training=False)
     p.add_argument("--occ_masking", action="store_true")
     p.add_argument("--geom_clamping", type=float, default=0.05)
     sup = p.add_mutually_exclusive_group()
@@ -201,6 +205,9 @@ def main(argv=None):
     sup.add_argument("--unsupervised", dest="supervised", action="store_false")
     p.set_defaults(supervised=True)
     p.add_argument("--logdir", default="trained_models/debug")
+    p.add_argument("--data_path", default=None,
+                   help="dataset root override (default: the reference's "
+                        "datasets/ layouts)")
     p.add_argument("--loadckpt", default=None,
                    help="warm-start model variables from a checkpoint dir")
     p.add_argument("--resume", action="store_true",
@@ -242,6 +249,7 @@ def main(argv=None):
         lr=a.lr, lrepochs=a.lrepochs, weight_decay=a.wd,
         geom_clamping=a.geom_clamping, seed=a.seed, save_freq=a.save_freq,
         print_every=a.print_every, logdir=a.logdir, debug=a.debug,
+        data_path=a.data_path,
         num_depth=a.num_depth, num_workers=a.num_workers,
         train_dtype="bfloat16" if a.bf16 else "float32", remat=a.remat)
     with profiler_trace(a.logdir, enabled=a.trace):

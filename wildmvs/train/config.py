@@ -28,6 +28,9 @@ class TrainConfig:
     save_freq: int = 1
     print_every: int = 20
     logdir: str = "trained_models/debug"
+    # dataset root override (None -> the reference's fixed layouts under
+    # datasets/: dtu_training / megadepth / BlendedMVS)
+    data_path: "str | None" = None
     debug: bool = False
     num_workers: int = 4               # prefetch threads (train.py:120's 8
     # worker processes; our decode is native+GIL-free so threads suffice)
