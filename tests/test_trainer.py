@@ -110,6 +110,29 @@ def test_eval_and_test_steps():
     assert all(np.isfinite(float(v)) for v in metrics.values())
 
 
+def test_run_resume_continues_from_checkpoint(tmp_path):
+    """--resume restores the full train state (incl. optimizer) and picks up
+    at epoch+1 (parity train.py:149-158)."""
+    import dataclasses
+    from wildmvs.train import cli
+    from wildmvs.train.checkpoint import latest_checkpoint
+
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=True, num_depth=8, lr=1e-3, epochs=2,
+                      logdir=str(tmp_path), save_freq=1, print_every=1000)
+    h1 = cli.run(cfg)
+    assert len(h1["train_loss"]) == 2
+    assert latest_checkpoint(tmp_path).name == "model_000001"
+
+    h2 = cli.run(dataclasses.replace(cfg, epochs=3), resume=True)
+    # only epoch 2 ran on resume
+    assert len(h2["train_loss"]) == 1
+    assert latest_checkpoint(tmp_path).name == "model_000002"
+    # resumed training continues converging, it does not restart: the
+    # resumed epoch's loss stays below the fresh run's first epoch
+    assert h2["train_loss"][0] < h1["train_loss"][0]
+
+
 def test_set_epoch_lr_updates_optimizer():
     cfg = TrainConfig(lrepochs="2:10", lr=1e-3, num_depth=8)
     batch = make_batch(h=32, w=32)
