@@ -39,14 +39,28 @@ from wildmvs.train.torch_import import convert_state_dict  # noqa: E402
 def ref_path():
     """Make the reference importable and neutralize its hard .cuda() calls
     (frontend.py:26-29, modules.py:71-246, homography.py:78-79)."""
+    import types
     sys.path.insert(0, REF)
     orig_cuda = torch.Tensor.cuda
+    orig_mod_cuda = torch.nn.Module.cuda
     orig_empty = torch.cuda.empty_cache
     torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
     torch.cuda.empty_cache = lambda: None
+    # torchvision is absent here; the reference imports it only for image
+    # grids (models/utils.py:17), which these tests never exercise
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
+        tv = types.ModuleType("torchvision")
+        tv.utils = types.ModuleType("torchvision.utils")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.utils"] = tv.utils
     yield REF
     torch.Tensor.cuda = orig_cuda
+    torch.nn.Module.cuda = orig_mod_cuda
     torch.cuda.empty_cache = orig_empty
+    if stubbed:
+        del sys.modules["torchvision"], sys.modules["torchvision.utils"]
     sys.path.remove(REF)
 
 
@@ -136,6 +150,69 @@ def test_vis_mvsnet_forward_parity(ref_path):
                 ref_out["depth_pair_list"][stage][pair][0].squeeze(1)) < 5e-3
     assert max_err(out["photometric_confidence"],
                    ref_out["photometric_confidence"]) < 2e-3
+
+
+def _ref_trainer(architecture, supervised, ref_model):
+    """The reference's Trainer wired for a single-rank CPU step
+    (models/trainer.py:27-51; occ_masking off so no collectives run)."""
+    import argparse
+    from models.trainer import Trainer as RefTrainer
+    args = argparse.Namespace(
+        occ_masking=False, num_im_train=3, supervised=supervised,
+        architecture=architecture, upsample_training=False, print_every=10)
+    return RefTrainer(ref_model, args)
+
+
+def _torch_sample(b):
+    s = {"imgs": torch.from_numpy(b["imgs"]).permute(0, 1, 4, 2, 3)
+         .contiguous(),
+         "K": torch.from_numpy(b["K"]), "R": torch.from_numpy(b["R"]),
+         "t": torch.from_numpy(b["t"]),
+         "depth_min": torch.from_numpy(b["depth_min"]),
+         "depth_max": torch.from_numpy(b["depth_max"])}
+    if "depth" in b:  # reference keeps a leading channel axis
+        s["depth"] = torch.from_numpy(b["depth"]).unsqueeze(1)
+        s["mask"] = torch.from_numpy(b["mask"]).unsqueeze(1)
+    return s
+
+
+def _our_loss(arch, supervised, sd, b):
+    from wildmvs.train.config import TrainConfig
+    from wildmvs.train import trainer as T
+    cfg = TrainConfig(architecture=arch, dataset="synthetic",
+                      supervised=supervised)
+    batch = {k: jnp.array(v) for k, v in b.items()}
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    sd = {k: v.detach().numpy() for k, v in sd.items()}
+    params, stats = convert_state_dict(sd, state.params, state.batch_stats)
+    state = state.replace(params=params, batch_stats=stats)
+    return float(T.eval_step(state, batch, cfg)["val_loss"])
+
+
+@pytest.mark.parametrize("arch,supervised", [
+    ("mvsnet", True),          # masked L1 in interval units
+    ("vis_mvsnet", True),      # multi-scale factors + bayesian pair loss
+    ("mvsnet-s", False),       # photometric DSSIM loss (flow warp path)
+])
+def test_trainer_loss_parity(ref_path, arch, supervised):
+    """Our eval loss == the reference Trainer.step loss with the same
+    (imported) weights — covers the whole loss stack, not just forwards."""
+    torch.manual_seed(0)
+    if arch.startswith("mvsnet"):
+        from models.MVSNet.model import MVSNet as RefNet
+        agg = "softmin" if arch.endswith("-s") else "variance"
+        ref_model = RefNet(aggregation=agg).eval()
+    else:
+        from models.VisMVSNet.frontend import Frontend as RefNet
+        ref_model = RefNet().eval()
+
+    b = make_inputs()
+    tr = _ref_trainer(arch, supervised, ref_model)
+    with torch.no_grad():
+        ref_loss = float(tr.step(_torch_sample(b), train=False))
+
+    ours = _our_loss(arch, supervised, ref_model.state_dict(), b)
+    assert ours == pytest.approx(ref_loss, rel=2e-3), (ours, ref_loss)
 
 
 def test_cvp_mvsnet_forward_parity(ref_path):
