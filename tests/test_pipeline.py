@@ -180,6 +180,31 @@ def test_run_pipeline_upsample_and_filter_num_views(scene, tmp_path):
     assert res["num_points"] > 300
 
 
+def test_run_pipeline_sharded_stage1_then_complete(tmp_path):
+    """Multi-host depthmap sharding: two sharded passes (process 0/2 and
+    1/2) each produce only their views and do NOT write the stage sentinel;
+    a final unsharded pass completes stages 2-4 from the caches."""
+    from wildmvs.pipeline.reconstruction import run_pipeline
+
+    # the real network needs /32 resolutions (unlike the oracle fixture)
+    scene = SyntheticSceneDataset(num_views=4, height=64, width=96, seed=3)
+    depth_dir = tmp_path / "IntRes" / "depthmaps" / "scene"
+    for pidx in range(2):
+        res = run_pipeline(scene, tmp_path, architecture="mvsnet",
+                           scene="scene", min_tri_angle=0.0,
+                           process_index=pidx, process_count=2)
+        assert res["stage1_shard"] == f"{pidx}/2"
+    names = [scene[i]["filename"].replace("/", "_")
+             for i in range(len(scene))]
+    assert all((depth_dir / f"{n}_out.npz").exists() for n in names)
+    assert not (depth_dir / "finished.txt").exists()
+
+    res = run_pipeline(scene, tmp_path, architecture="mvsnet",
+                       scene="scene", min_tri_angle=0.0)
+    assert (depth_dir / "finished.txt").exists()
+    assert "num_points" in res
+
+
 def test_classic_depthmap_recovers_plane(scene):
     """The non-learned ZNCC plane-sweep baseline (the reference's --colmap
     patch-match role) recovers the synthetic scene's plane depth."""

@@ -88,7 +88,9 @@ def run_depthmaps(dataset, model, variables, out_dir: Path,
             probability=np.asarray(prob[0], dtype=np.float32))
         if debug:
             return
-    if process_index == 0:
+    if process_count == 1:
+        # sharded runs must not mark the stage complete — a later unsharded
+        # pass verifies every per-file cache then writes the sentinel
         (out_dir / "finished.txt").write_text(" ")
 
 

@@ -74,7 +74,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                  data_path: str | None = None, upsample: bool = False,
                  filter_num_views: int | None = None,
                  chunked_eval: bool = False,
-                 fusion_max_reproj_error: float | None = None) -> dict:
+                 fusion_max_reproj_error: float | None = None,
+                 process_index: int = 0, process_count: int = 1) -> dict:
     work_dir = Path(work_dir)
     depth_dir = work_dir / "IntRes" / "depthmaps" / scene
     filter_dir = work_dir / "IntRes" / "geometric_filtering" / scene
@@ -104,7 +105,16 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
         model, variables, architecture, cvp_nscale = load_network(
             model_dir, architecture, sample0, dataset_name)
         run_depthmaps(dataset, model, variables, depth_dir, override=override,
-                      debug=debug, cvp_nscale=cvp_nscale)
+                      debug=debug, cvp_nscale=cvp_nscale,
+                      process_index=process_index,
+                      process_count=process_count)
+    if process_count > 1:
+        # multi-host mode: each host owns views i % process_count ==
+        # process_index (embarrassingly parallel, SURVEY §7.9); stages 2-4
+        # need every depthmap, so rerun without sharding once all hosts
+        # finish — stage 1 is then a cached no-op
+        return {"scene": scene, "architecture": architecture,
+                "stage1_shard": f"{process_index}/{process_count}"}
 
     # ---- stage 2: geometric filtering ----
     results = {"scene": scene, "architecture": architecture}
@@ -289,6 +299,12 @@ def main(argv=None):
     p.add_argument("--chunked_eval", action="store_true",
                    help="slower, low-memory DTU metric evaluation")
     p.add_argument("--override", action="store_true")
+    p.add_argument("--process_index", type=int, default=0,
+                   help="this host's shard of the depthmap stage")
+    p.add_argument("--process_count", type=int, default=1,
+                   help="number of hosts sharding the depthmap stage; "
+                        "when > 1 the run stops after stage 1 (rerun "
+                        "unsharded to filter/fuse from the caches)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     a = p.parse_args(argv)
@@ -325,7 +341,8 @@ def main(argv=None):
         compute_metrics=a.compute_metrics, data_path=a.data_path,
         upsample=a.upsample, filter_num_views=a.filter_num_views,
         chunked_eval=a.chunked_eval,
-        fusion_max_reproj_error=a.fusion_max_reproj_error)
+        fusion_max_reproj_error=a.fusion_max_reproj_error,
+        process_index=a.process_index, process_count=a.process_count)
     print(json.dumps(results, default=str))
 
 
