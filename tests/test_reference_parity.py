@@ -215,6 +215,55 @@ def test_trainer_loss_parity(ref_path, arch, supervised):
     assert ours == pytest.approx(ref_loss, rel=2e-3), (ours, ref_loss)
 
 
+def test_gradient_parity_mvsnet_supervised(ref_path):
+    """Training parity end to end: d(loss)/d(params) matches the reference
+    through the warp, cost volume, 3D UNet and masked-L1 loss, in true
+    train mode (per-view batch-stat BN on both sides; the reference's
+    in-place eval aggregation breaks torch autograd, model.py:128-134)."""
+    from models.MVSNet.model import MVSNet as RefNet
+    from wildmvs.train.config import TrainConfig
+    from wildmvs.train import trainer as T
+
+    torch.manual_seed(0)
+    ref_model = RefNet(aggregation="variance").train()
+    ref_model.num_depth = 32  # mutable structure constant (model.py:98)
+
+    b = make_inputs()
+    tr = _ref_trainer("mvsnet", True, ref_model)
+    ref_loss = tr.step(_torch_sample(b), train=True)
+    ref_loss.backward()
+    ref_g0 = ref_model.feature.conv0.conv.weight.grad.detach().numpy()
+    ref_gp = ref_model.cost_regularization.prob.weight.grad.detach().numpy()
+
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=True, num_depth=32)
+    batch = {k: jnp.array(v) for k, v in b.items()}
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params, stats = convert_state_dict(sd, state.params, state.batch_stats)
+
+    model = T.create_model(cfg)
+
+    def loss_fn(p):
+        out, _ = model.apply({"params": p, "batch_stats": stats},
+                             *T.forward_args(batch, cfg), reference_frame=0,
+                             train=True, mutable=["batch_stats"])
+        return T.loss_from_outputs(out, batch, cfg, 0)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert float(loss) == pytest.approx(float(ref_loss), rel=2e-3)
+
+    def check(ours, theirs_oihw):
+        ours = np.asarray(ours)  # [kh,kw,I,O] vs torch [O,I,kh,kw]
+        theirs = theirs_oihw.transpose(*range(2, theirs_oihw.ndim), 1, 0)
+        scale = np.abs(theirs).max()
+        assert scale > 0
+        np.testing.assert_allclose(ours, theirs, atol=2e-3 * scale)
+
+    check(grads["feature"]["conv0"]["conv"]["conv"]["kernel"], ref_g0)
+    check(grads["cost_regularization"]["prob"]["kernel"], ref_gp)
+
+
 def test_cvp_mvsnet_forward_parity(ref_path):
     from models.CVP_MVSNet.frontend import Frontend as RefFrontend
     torch.manual_seed(0)
