@@ -205,6 +205,26 @@ def test_run_pipeline_sharded_stage1_then_complete(tmp_path):
     assert "num_points" in res
 
 
+def test_depthmap_eval_sharded_merge(tmp_path):
+    """Two sharded benchmark runs + --merge reproduce the unsharded
+    metrics exactly (count-weighted means, the reference's dist.reduce)."""
+    import json
+    from wildmvs.pipeline import depthmap_eval as DE
+
+    base = ["--dataset", "synthetic", "--architecture", "mvsnet",
+            "--out_dir", str(tmp_path)]
+    for pidx in range(2):
+        DE.main(base + ["--process_index", str(pidx),
+                        "--process_count", "2"])
+    DE.main(base)  # unsharded ground truth
+    out = tmp_path / "synthetic_depthmaps"
+    full = json.loads((out / "mvsnet_5.json").read_text())
+    merged = DE.merge_parts(out / "mvsnet_5")  # overwrites mvsnet_5.json
+    assert merged["count"] == 4 and merged["merged_parts"] == 2
+    for k in ("EPE", "1pxError", "3pxError"):
+        assert merged[k] == pytest.approx(full[k], rel=1e-6)
+
+
 def test_classic_depthmap_recovers_plane(scene):
     """The non-learned ZNCC plane-sweep baseline (the reference's --colmap
     patch-match role) recovers the synthetic scene's plane depth."""

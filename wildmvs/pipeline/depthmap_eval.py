@@ -68,8 +68,35 @@ def evaluate(dataset, model, variables, cvp_nscale=None,
             "count": count, "seconds": time.time() - t0}
 
 
+def merge_parts(base: Path) -> dict:
+    """Combine `{base}.part{i}.json` shard results into `{base}.json` —
+    count-weighted means (the reference's dist.reduce(SUM) ÷ len(dataset),
+    depthmap_eval.py:155-164, done host-side from the part files)."""
+    parts = sorted(base.parent.glob(base.name + ".part*.json"))
+    if not parts:
+        raise FileNotFoundError(f"no {base.name}.part*.json in {base.parent}")
+    sums, count, seconds = {}, 0, 0.0
+    for p in parts:
+        r = json.loads(p.read_text())
+        for k, v in r.items():
+            if k == "count":
+                count += r["count"]
+            elif k == "seconds":
+                seconds = max(seconds, r["seconds"])  # hosts ran in parallel
+            else:
+                sums[k] = sums.get(k, 0.0) + v * r["count"]
+    res = {**{k: v / max(count, 1) for k, v in sums.items()},
+           "count": count, "seconds": seconds, "merged_parts": len(parts)}
+    with open(base.with_suffix(".json"), "w") as f:
+        json.dump(res, f)
+    return res
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description="wildmvs depthmap benchmark")
+    p.add_argument("--merge", default=None, metavar="BASE",
+                   help="merge BASE.part*.json shard results into BASE.json "
+                        "and exit (e.g. results/yfcc_depthmaps/model_5)")
     p.add_argument("--dataset", default="yfcc",
                    choices=["yfcc", "blended", "synthetic"])
     p.add_argument("--model", default=None, help="trained model dir")
@@ -85,6 +112,9 @@ def main(argv=None):
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     a = p.parse_args(argv)
+    if a.merge:
+        print(json.dumps(merge_parts(Path(a.merge))))
+        return
     if a.platform:
         jax.config.update("jax_platforms",
                           "axon" if a.platform == "tpu" else a.platform)
