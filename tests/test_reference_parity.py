@@ -152,6 +152,35 @@ def test_vis_mvsnet_forward_parity(ref_path):
                    ref_out["photometric_confidence"]) < 2e-3
 
 
+def test_depth_metric_parity(ref_path):
+    """Our EPE/1px/3px equal the reference's interval-normalized metric
+    functions (models/utils.py:136-159 + depthmap_eval.py:133-143):
+    per-image averaging, mask indexing, threshold semantics."""
+    from models.utils import Thres_metrics, AbsDepthError_metrics
+    from wildmvs.train.metrics import depth_metrics
+
+    rng = np.random.default_rng(0)
+    b, h, w = 3, 17, 23
+    gt = rng.uniform(2.0, 6.0, (b, h, w)).astype(np.float32)
+    est = gt + rng.normal(0, 0.2, (b, h, w)).astype(np.float32)
+    mask = (rng.random((b, h, w)) > 0.3).astype(np.float32)
+    dmin = np.full((b,), 2.0, np.float32)
+    dmax = np.full((b,), 6.0, np.float32)
+    step = (dmax - dmin) / 128.0
+
+    test, tgt = (torch.from_numpy(est / step[:, None, None]),
+                 torch.from_numpy(gt / step[:, None, None]))
+    tmask = torch.from_numpy(mask) > 0.5
+    ref = {"EPE": float(AbsDepthError_metrics(test, tgt, tmask)),
+           "1pxError": float(Thres_metrics(test, tgt, tmask, 1)),
+           "3pxError": float(Thres_metrics(test, tgt, tmask, 3))}
+
+    ours = depth_metrics(jnp.array(est), jnp.array(gt), jnp.array(mask),
+                         jnp.array(dmin), jnp.array(dmax))
+    for k in ref:
+        assert float(ours[k]) == pytest.approx(ref[k], rel=1e-5), k
+
+
 def _ref_trainer(architecture, supervised, ref_model):
     """The reference's Trainer wired for a single-rank CPU step
     (models/trainer.py:27-51; occ_masking off so no collectives run)."""
