@@ -53,14 +53,22 @@ def ref_path():
     if stubbed:
         tv = types.ModuleType("torchvision")
         tv.utils = types.ModuleType("torchvision.utils")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        # PEP 562 module __getattr__: any transform name resolves to a
+        # placeholder class (the reference only constructs them in augment
+        # paths these tests never run)
+        tv.transforms.__getattr__ = lambda name: type(name, (), {})
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv.utils
+        sys.modules["torchvision.transforms"] = tv.transforms
     yield REF
     torch.Tensor.cuda = orig_cuda
     torch.nn.Module.cuda = orig_mod_cuda
     torch.cuda.empty_cache = orig_empty
     if stubbed:
-        del sys.modules["torchvision"], sys.modules["torchvision.utils"]
+        for m in ("torchvision", "torchvision.utils",
+                  "torchvision.transforms"):
+            del sys.modules[m]
     sys.path.remove(REF)
 
 
@@ -179,6 +187,64 @@ def test_depth_metric_parity(ref_path):
                          jnp.array(dmin), jnp.array(dmax))
     for k in ref:
         assert float(ours[k]) == pytest.approx(ref[k], rel=1e-5), k
+
+
+def test_geometric_filter_parity(ref_path, tmp_path):
+    """Our device-side geometric filter produces bit-identical masks to the
+    reference's CPU filtering stage (evaluation/filtering.py:25-91) on a
+    real synthetic scene — thresholds, grid_sample convention
+    (align_corners=False), reprojection and ≥k-of-N voting included."""
+    import argparse
+    from evaluation import filtering as ref_filtering
+    from wildmvs.data.synthetic import SyntheticSceneDataset
+    from wildmvs.pipeline.filtering import geometric_filter
+
+    scene = SyntheticSceneDataset(num_views=4, height=64, width=96, seed=3)
+    names = [scene[i]["filename"].replace("/", "_")
+             for i in range(len(scene))]
+    depth_dir = (tmp_path / "IntRes" / "depthmaps" / "m_4" / "scene")
+    depth_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i, n in enumerate(names):
+        noisy = scene.depths[i] * (1 + 0.004 * rng.standard_normal(
+            scene.depths[i].shape)).astype(np.float32)
+        np.savez_compressed(depth_dir / f"{n}_out.npz", depthmap=noisy)
+
+    args = argparse.Namespace(
+        data_path=str(tmp_path), scene="scene", model="m", nviews=4,
+        upsample=False, downscale=1, max_reproj_error=1.0,
+        depth_threshold=0.01, min_tri_angle=1.0, num_consistent=3,
+        debug=False)
+
+    def batches():
+        for i in range(len(scene)):
+            s = scene[i]
+            yield {"filename": [names[i]],
+                   "src_filenames": [(x.replace("/", "_"),)
+                                     for x in s["src_filenames"]],
+                   "K": torch.from_numpy(s["K"]).unsqueeze(0),
+                   "R": torch.from_numpy(s["R"]).unsqueeze(0),
+                   "t": torch.from_numpy(s["t"]).unsqueeze(0)}
+
+    ref_filtering.run(list(batches()), args)
+    ref_out = (tmp_path / "IntRes" / "geometric_filtering" / "m_4" / "scene")
+
+    for i, n in enumerate(names):
+        s = scene[i]
+        ref_depth = np.load(depth_dir / f"{n}_out.npz")["depthmap"]
+        srcs = np.stack([np.load(
+            depth_dir / f"{x.replace('/', '_')}_out.npz")["depthmap"]
+            for x in s["src_filenames"]])
+        ours = geometric_filter(jnp.array(ref_depth), jnp.array(srcs),
+                                jnp.array(s["K"]), jnp.array(s["R"]),
+                                jnp.array(s["t"]))
+        ref = np.load(ref_out / f"{n}_out.npz")
+        for key in ("mask_depth", "mask_disp", "geo_mask"):
+            theirs = np.asarray(ref[key], bool)
+            got = np.asarray(ours[key], bool)
+            # identical up to <0.2% boundary pixels (f32 vs f64 rounding at
+            # the exact-threshold boundary)
+            assert (got != theirs).mean() < 2e-3, key
 
 
 def _ref_trainer(architecture, supervised, ref_model):
