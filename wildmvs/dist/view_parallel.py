@@ -65,10 +65,17 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
         # reference's DDP broadcasts rank 0's buffers anyway; a follow-up can
         # psum-select shard 0's stats)
         def make_fwd(r):
-            def branch(_):
+            def fwd(variables, *args):
                 out, _ = model.apply(variables, *args, reference_frame=r,
                                      train=True, mutable=["batch_stats"])
                 return out
+            if config.remat:
+                # honor --remat here too: this multi-forward mode is exactly
+                # where cost-volume activations are heaviest
+                fwd = jax.checkpoint(fwd)
+
+            def branch(_):
+                return fwd(variables, *args)
             return branch
 
         outs = []

@@ -7,9 +7,9 @@ for every use. `Predictor` packages that: architecture comes from the
 checkpoint's metadata, eval-time per-architecture overrides are applied,
 the forward is jitted once per input resolution (XLA's jit cache keys on
 shapes, so mixed-resolution scenes each compile once then stream), and
-inputs are auto-cropped to the /32 multiple the networks require with the
-principal point adjusted (the eval datasets' test-mode crop,
-data/MVSDataset.py:76-87).
+inputs are auto-cropped from the top-left to the /32 multiple the
+networks require (the eval datasets' test-mode crop, data/MVSDataset.py:
+76-87; a top-left crop leaves K unchanged).
 
     from wildmvs.infer import Predictor
     pred = Predictor("trained_models/vis_md")       # or architecture="mvsnet"
@@ -35,12 +35,11 @@ class Predictor:
                  cvp_nscale: int | None = None):
         from .models import build_model
         from .pipeline.depthmaps import eval_model_kwargs
-        from .train.checkpoint import latest_checkpoint, load_metadata
+        from .train.checkpoint import resolve_checkpoint
 
         self._ckpt = None
         if model_dir is not None:
-            self._ckpt = latest_checkpoint(model_dir) or Path(model_dir)
-            architecture = load_metadata(self._ckpt)["architecture"]
+            self._ckpt, architecture = resolve_checkpoint(model_dir)
         if architecture is None:
             raise ValueError("need model_dir or architecture")
         self.architecture = architecture

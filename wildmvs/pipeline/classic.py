@@ -130,7 +130,8 @@ def classic_depthmap(imgs: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
 
 def run_classic_depthmaps(dataset, depth_dir, num_depth: int = 192,
                           window: int = 7, downscale: int = 2,
-                          override: bool = False, debug: bool = False):
+                          override: bool = False, debug: bool = False,
+                          process_index: int = 0, process_count: int = 1):
     """Stage-1 driver for the classical baseline: same idempotent npz +
     finished.txt caching as run_depthmaps (evaluation/run_depthmaps.py:38-49,
     here for depthmap_colmap's role, colmap_utils.py:282-322)."""
@@ -141,6 +142,8 @@ def run_classic_depthmaps(dataset, depth_dir, num_depth: int = 192,
     if done.exists() and not override:
         return
     for i in range(len(dataset)):
+        if i % process_count != process_index:
+            continue
         s = dataset[i]
         name = s["filename"].replace("/", "_")
         f = depth_dir / f"{name}_out.npz"
@@ -156,4 +159,6 @@ def run_classic_depthmaps(dataset, depth_dir, num_depth: int = 192,
                             probability=np.asarray(conf[0]))
         if debug:
             return
-    done.write_text("finished\n")
+    if process_count == 1:
+        # sharded runs leave the sentinel to the final unsharded pass
+        done.write_text("finished\n")

@@ -75,6 +75,13 @@ def merge_parts(base: Path) -> dict:
     parts = sorted(base.parent.glob(base.name + ".part*.json"))
     if not parts:
         raise FileNotFoundError(f"no {base.name}.part*.json in {base.parent}")
+    # a crashed host must not silently bias the benchmark (the reference's
+    # dist.reduce would have blocked on all ranks): shard indices have to
+    # form a contiguous 0..N-1 set
+    idxs = sorted(int(p.name[len(base.name) + 5:-5]) for p in parts)
+    if idxs != list(range(len(idxs))) or idxs[-1] != len(parts) - 1:
+        raise ValueError(f"incomplete shard set {idxs}: expected parts "
+                         f"0..{idxs[-1]} — rerun the missing hosts")
     sums, count, seconds = {}, 0, 0.0
     for p in parts:
         r = json.loads(p.read_text())
@@ -87,7 +94,8 @@ def merge_parts(base: Path) -> dict:
                 sums[k] = sums.get(k, 0.0) + v * r["count"]
     res = {**{k: v / max(count, 1) for k, v in sums.items()},
            "count": count, "seconds": seconds, "merged_parts": len(parts)}
-    with open(base.with_suffix(".json"), "w") as f:
+    # NOT with_suffix: a dotted model name ("vis.bf16_5") must not truncate
+    with open(base.parent / (base.name + ".json"), "w") as f:
         json.dump(res, f)
     return res
 

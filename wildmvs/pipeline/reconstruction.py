@@ -22,7 +22,7 @@ import numpy as np
 
 from ..data.ply import write_ply
 from ..models.api import build_model
-from ..train.checkpoint import latest_checkpoint, load_metadata, restore_params
+from ..train.checkpoint import restore_params
 from .depthmaps import eval_model_kwargs, get_mask_invalid, run_depthmaps
 from .filtering import geometric_filter
 from .fusion import fuse_depthmaps
@@ -35,8 +35,8 @@ def load_network(model_dir: str | None, architecture: str | None,
     import jax.numpy as jnp
     variables = None
     if model_dir is not None:
-        ckpt = latest_checkpoint(model_dir) or Path(model_dir)
-        architecture = load_metadata(ckpt)["architecture"]
+        from ..train.checkpoint import resolve_checkpoint
+        ckpt, architecture = resolve_checkpoint(model_dir)
     assert architecture is not None
     cfg = eval_model_kwargs(architecture)
     kwargs = dict(cfg["kwargs"])
@@ -83,12 +83,24 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
 
     sample0 = dataset[0]
 
+    if override:
+        # override invalidates EVERY downstream cache up front — without
+        # this, a sharded --override rerun (which regenerates depthmaps but
+        # returns before stages 2-4) would leave stale sentinels and a
+        # stale PLY that the final unsharded pass then silently trusts
+        for stale in (depth_dir / "finished.txt",
+                      filter_dir / "finished.txt",
+                      points_dir / f"{scene}.ply"):
+            stale.unlink(missing_ok=True)
+
     # ---- stage 1: depthmaps ----
     if architecture == "oracle":
         # GT depths as "predictions": validates stages 2-4 independently of
         # model quality (datasets with per-sample `depth` only)
         depth_dir.mkdir(parents=True, exist_ok=True)
         for i in range(len(dataset)):
+            if i % process_count != process_index:
+                continue
             s = dataset[i]
             name = s["filename"].replace("/", "_")
             f = depth_dir / f"{name}_out.npz"
@@ -100,7 +112,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
         # patch-match role, reconstruction_pipeline.py:30-31)
         from .classic import run_classic_depthmaps
         run_classic_depthmaps(dataset, depth_dir, override=override,
-                              debug=debug)
+                              debug=debug, process_index=process_index,
+                              process_count=process_count)
     else:
         model, variables, architecture, cvp_nscale = load_network(
             model_dir, architecture, sample0, dataset_name)
@@ -120,7 +133,7 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
     results = {"scene": scene, "architecture": architecture}
     n = len(dataset)
     names = [dataset[i]["filename"].replace("/", "_") for i in range(n)]
-    if do_filter and not (filter_dir / "finished.txt").exists() or override:
+    if do_filter and (not (filter_dir / "finished.txt").exists() or override):
         filter_dir.mkdir(parents=True, exist_ok=True)
         import jax.numpy as jnp
         # filtering may consider more source views than prediction did

@@ -66,6 +66,15 @@ def latest_checkpoint(logdir: str | Path) -> Optional[Path]:
     return max(cands)[1]
 
 
+def resolve_checkpoint(model_dir: str | Path) -> tuple[Path, str]:
+    """Latest checkpoint under a model dir (or the dir itself when it IS a
+    checkpoint) plus its self-describing architecture. One place for the
+    eval-side loading recipe (parity pipeline_utils.py:114-131), shared by
+    the pipeline's load_network and the serving Predictor."""
+    ckpt = latest_checkpoint(model_dir) or Path(model_dir)
+    return ckpt, load_metadata(ckpt)["architecture"]
+
+
 def load_metadata(path: str | Path) -> dict:
     return json.loads((Path(path) / "metadata.json").read_text())
 
