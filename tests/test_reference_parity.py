@@ -287,7 +287,9 @@ def _our_loss(arch, supervised, sd, b):
 @pytest.mark.parametrize("arch,supervised", [
     ("mvsnet", True),          # masked L1 in interval units
     ("vis_mvsnet", True),      # multi-scale factors + bayesian pair loss
+    ("vis_mvsnet", False),     # photometric + bayesian-DSSIM pair terms
     ("mvsnet-s", False),       # photometric DSSIM loss (flow warp path)
+    ("cvp_mvsnet", True),      # pyramid depth list, uniform factors
 ])
 def test_trainer_loss_parity(ref_path, arch, supervised):
     """Our eval loss == the reference Trainer.step loss with the same
@@ -297,8 +299,11 @@ def test_trainer_loss_parity(ref_path, arch, supervised):
         from models.MVSNet.model import MVSNet as RefNet
         agg = "softmin" if arch.endswith("-s") else "variance"
         ref_model = RefNet(aggregation=agg).eval()
-    else:
+    elif arch == "vis_mvsnet":
         from models.VisMVSNet.frontend import Frontend as RefNet
+        ref_model = RefNet().eval()
+    else:
+        from models.CVP_MVSNet.frontend import Frontend as RefNet
         ref_model = RefNet().eval()
 
     b = make_inputs()
