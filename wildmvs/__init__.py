@@ -15,3 +15,14 @@ Design principles (TPU-first):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level conveniences (PEP 562) — keep `import wildmvs` light
+    if name == "Predictor":
+        from .infer import Predictor
+        return Predictor
+    if name == "build_model":
+        from .models import build_model
+        return build_model
+    raise AttributeError(name)
