@@ -35,9 +35,30 @@ YFCC_SCENES = [
 ]
 
 
+def _debug_visu(sample, est_up, out_dir):
+    """--debug visualization dump (parity depthmap_eval.py:55-67,:112-130):
+    reference/src images, predicted + GT depth, mask and interval-normalized
+    error map as jpgs under out_dir/visu."""
+    from ..utils.monitor import Logger
+    logger = Logger(Path(out_dir) / "visu")
+    n = sample["imgs"].shape[0]
+    ims = {"im_ref": np.asarray(sample["imgs"][0])}
+    for i in range(1, n):
+        ims[f"im_src_{i - 1}"] = np.asarray(sample["imgs"][i])
+    logger.plot_ims(ims)
+    vmin = float(sample["depth_min"][0])
+    vmax = float(sample["depth_max"][0])
+    logger.depth_panel(est_up, vmin, vmax, name="pred")
+    logger.depth_panel(np.asarray(sample["depth"]), vmin, vmax, name="gt")
+    logger.plot_ims({"mask_gt": np.asarray(sample["mask"])})
+    step = (vmax - vmin) / 128.0
+    diff = np.abs(np.asarray(est_up) - np.asarray(sample["depth"])) / step
+    logger.plot_ims({"diff": np.clip(diff / 3.0, 0, 1)})
+
+
 def evaluate(dataset, model, variables, cvp_nscale=None,
              process_index: int = 0, process_count: int = 1,
-             debug: bool = False) -> dict:
+             debug: bool = False, out_dir=None) -> dict:
     extra = {} if cvp_nscale is None else {"nscale": cvp_nscale}
 
     @jax.jit
@@ -63,6 +84,8 @@ def evaluate(dataset, model, variables, cvp_nscale=None,
             sums[k] = sums.get(k, 0.0) + float(v)
         count += 1
         if debug:
+            if out_dir is not None:
+                _debug_visu(s, np.asarray(est[0]), out_dir)
             break
     return {**{k: v / max(count, 1) for k, v in sums.items()},
             "count": count, "seconds": time.time() - t0}
@@ -148,7 +171,8 @@ def main(argv=None):
         a.model, a.architecture, dataset[0], a.dataset)
     res = evaluate(dataset, model, variables, cvp_nscale,
                    process_index=a.process_index,
-                   process_count=a.process_count, debug=a.debug)
+                   process_count=a.process_count, debug=a.debug,
+                   out_dir=Path(a.out_dir) / f"{a.dataset}_depthmaps")
     name = Path(a.model).name if a.model else architecture
     out = Path(a.out_dir) / f"{a.dataset}_depthmaps"
     out.mkdir(parents=True, exist_ok=True)
