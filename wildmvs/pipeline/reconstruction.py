@@ -76,10 +76,12 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                  chunked_eval: bool = False,
                  fusion_max_reproj_error: float | None = None,
                  process_index: int = 0, process_count: int = 1) -> dict:
+    from ..utils.monitor import StageTimer
     work_dir = Path(work_dir)
     depth_dir = work_dir / "IntRes" / "depthmaps" / scene
     filter_dir = work_dir / "IntRes" / "geometric_filtering" / scene
     points_dir = work_dir / "Points"
+    timer = StageTimer()  # per-stage wall clock, reported in the results
 
     sample0 = dataset[0]
 
@@ -121,13 +123,15 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                       debug=debug, cvp_nscale=cvp_nscale,
                       process_index=process_index,
                       process_count=process_count)
+    timer.mark("depthmaps")
     if process_count > 1:
         # multi-host mode: each host owns views i % process_count ==
         # process_index (embarrassingly parallel, SURVEY §7.9); stages 2-4
         # need every depthmap, so rerun without sharding once all hosts
         # finish — stage 1 is then a cached no-op
         return {"scene": scene, "architecture": architecture,
-                "stage1_shard": f"{process_index}/{process_count}"}
+                "stage1_shard": f"{process_index}/{process_count}",
+                "stage_timings": timer.summary()}
 
     # ---- stage 2: geometric filtering ----
     results = {"scene": scene, "architecture": architecture}
@@ -192,7 +196,9 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             dataset.nviews = old_nviews
         if not debug:
             (filter_dir / "finished.txt").write_text(" ")
+    timer.mark("filtering")
     if debug:
+        results["stage_timings"] = timer.summary()
         return results
 
     # ---- stage 3: native fusion ----
@@ -245,6 +251,7 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
         from ..data.ply import ply_xyz
         results["num_points"] = int(ply_xyz(ply_path).shape[0])
     results["ply"] = str(ply_path)
+    timer.mark("fusion")
 
     # ---- stage 4: metrics ----
     if compute_metrics:
@@ -266,6 +273,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                 "chamfer_gt_to_pred": float(np.mean(np.minimum(
                     raw["dist_gtToPred"], 10 * getattr(dataset, "gt_resolution", 1.0)))),
             }
+        timer.mark("metrics")
+    results["stage_timings"] = timer.summary()
     return results
 
 

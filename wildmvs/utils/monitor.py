@@ -81,6 +81,15 @@ class StageTimer:
     def __init__(self):
         self.totals: dict[str, float] = {}
         self.counts: dict[str, int] = {}
+        self._last = time.perf_counter()
+
+    def mark(self, name: str):
+        """Sequential timing: attribute the time since the previous mark
+        (or construction) to `name`."""
+        now = time.perf_counter()
+        self.totals[name] = self.totals.get(name, 0.0) + (now - self._last)
+        self.counts[name] = self.counts.get(name, 0) + 1
+        self._last = now
 
     @contextlib.contextmanager
     def stage(self, name: str):
