@@ -91,6 +91,18 @@ def test_blended_dataset(tmp_path):
     s_aug = ds_aug[0]
     assert s_aug["imgs"].shape == (2, 576, 768, 3)
 
+    # return_depth=False must skip the PFM reads entirely (our extension —
+    # the reference forces return_depth=True, blended.py:44)
+    import shutil
+    root2 = root.parent / "blended_nodepth"
+    shutil.copytree(root, root2)
+    shutil.rmtree(root2 / scene / "rendered_depth_maps")
+    ds_nd = loaders.BlendedMVSDataset(root2, [scene], "train", 2,
+                                      return_depth=False, augment=False)
+    s_nd = ds_nd[0]
+    assert "depth" not in s_nd and "mask" not in s_nd
+    assert s_nd["imgs"].shape == (2, 576, 768, 3)
+
 
 def test_megadepth_dataset(tmp_path):
     import h5py
@@ -117,6 +129,19 @@ def test_megadepth_dataset(tmp_path):
     assert s["imgs"].shape == (3, 512, 512, 3)
     assert s["depth"].shape == (512, 512)
     assert s["mask"].all()
+
+    # val split with return_depth=True must also return depth + mask (the
+    # reference's md_yao.py:81-84/:121-123 NameErrors here — fixed, like its
+    # own DTU loader). val reads from the "test" subdirectory (md_yao.py:31).
+    import shutil
+    shutil.copytree(root / "train", root / "test")
+    ds_val = loaders.MegaDepthDataset(root, [scene], "val", 3,
+                                      return_depth=True)
+    assert len(ds_val) == 2
+    sv = ds_val[0]
+    assert sv["imgs"].shape == (3, 512, 512, 3)
+    assert sv["depth"].shape == (512, 512)
+    assert sv["mask"].all()
 
 
 def _synthetic_colmap_scene(root, n_views=4, n_points=60):

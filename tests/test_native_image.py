@@ -40,6 +40,29 @@ def test_png_decode_exact(images):
     np.testing.assert_allclose(img, ref, atol=1e-6)
 
 
+def test_nonstandard_png_formats_fall_back_to_pil(images, tmp_path):
+    """16-bit / RGBA / palette PNGs decode to different arrays under PIL
+    (uint16 range, [H,W,4], palette indices); the native decoder must refuse
+    them so read_images keeps PIL's semantics instead of normalizing."""
+    rng = np.random.default_rng(1)
+    p16 = tmp_path / "d16.png"
+    arr16 = (rng.random((40, 50)) * 65535).astype(np.uint16)
+    Image.fromarray(arr16, mode="I;16").save(p16)
+    prgba = tmp_path / "rgba.png"
+    arr4 = (rng.random((40, 50, 4)) * 255).astype(np.uint8)
+    Image.fromarray(arr4, mode="RGBA").save(prgba)
+    ppal = tmp_path / "pal.png"
+    Image.fromarray((rng.random((40, 50, 3)) * 255).astype(np.uint8)) \
+        .convert("P", palette=Image.ADAPTIVE).save(ppal)
+    for p in (p16, prgba, ppal):
+        with pytest.raises(RuntimeError):
+            cpp.load_images([p])
+        (img, r), = read_images([p])  # falls back to PIL for the batch
+        ref = np.asarray(Image.open(p), np.float32) / 255
+        assert img.shape == ref.shape
+        np.testing.assert_allclose(img, ref, atol=1e-6)
+
+
 def test_jpeg_decode_matches_pil(images):
     (img, _), = cpp.load_images([images / "a.jpg"])
     ref = np.asarray(Image.open(images / "a.jpg"), np.float32) / 255
@@ -102,6 +125,42 @@ def test_read_images_missing_file_fallback_raises(images):
     # native raises -> PIL fallback also fails -> FileNotFoundError surfaces
     with pytest.raises(FileNotFoundError):
         read_images([images / "nope.jpg"])
+
+
+def test_corrupt_native_library_falls_back(images):
+    """A truncated/corrupt .so (e.g. an interrupted build) must make
+    get_lib() return None — engaging the scipy/PIL fallbacks — not raise
+    OSError out of every caller; the artifacts are dropped for a rebuild."""
+    import subprocess
+    import sys
+    from pathlib import Path
+    so = Path(cpp.__file__).parent / "libwildmvs_native.so"
+    stamp = so.parent / ".native_build"
+    assert cpp.get_lib() is not None  # ensure built
+    real = so.read_bytes()
+    real_stamp = stamp.read_text()
+    # dlopen caches by path inside a process, so the corrupt-load must be
+    # exercised in a fresh one. Unlink before replacing: this process has
+    # the library mapped, and overwriting the inode would corrupt its pages.
+    probe = (
+        "from wildmvs import cpp\n"
+        "from wildmvs.data.loaders import read_images\n"
+        f"(img, r), = read_images([{str(images / 'a.png')!r}])\n"
+        "assert img.shape[-1] == 3  # PIL fallback engaged\n"
+        "print('LIB_NONE' if cpp.get_lib() is None else 'LIB_OK')\n")
+    try:
+        so.unlink()
+        so.write_bytes(b"not an elf file")
+        stamp.write_text(real_stamp)
+        out = subprocess.run([sys.executable, "-c", probe],
+                             capture_output=True, text=True, timeout=120)
+        assert "LIB_NONE" in out.stdout, (out.stdout, out.stderr)
+        assert not so.exists()  # dropped so the next process rebuilds
+    finally:
+        so.unlink(missing_ok=True)
+        so.write_bytes(real)
+        stamp.write_text(real_stamp)
+    assert cpp.get_lib() is not None
 
 
 def test_native_resize_standalone():

@@ -73,6 +73,26 @@ def test_fusion_rejects_inconsistent_view(scene):
     assert points.shape[0] == 0
 
 
+def test_fusion_used_source_pixels_do_not_vote(scene):
+    """A source pixel consumed by an earlier reference round must neither
+    vote toward num_consistent nor be re-averaged (fusibile's used-pixel
+    semantics). With every source pixel pre-consumed, nothing can pass."""
+    from wildmvs.pipeline.fusion import _fuse_one_view
+    K, R, t = _cams(scene)
+    depths = jnp.asarray(np.stack(scene.depths))
+    Kj, Rj, tj = jnp.asarray(K), jnp.asarray(R), jnp.asarray(t)
+    fresh = jnp.zeros(depths.shape, bool)
+    _, keep0, new_used = _fuse_one_view(jnp.asarray(0), depths, fresh,
+                                        Kj, Rj, tj, num_consistent=3)
+    assert np.asarray(keep0).sum() > 500
+    # the kept reference pixels themselves are consumed for later rounds
+    assert (np.asarray(new_used[0]).reshape(-1) >= np.asarray(keep0)).all()
+    all_src_used = fresh.at[1:].set(True)
+    _, keep1, _ = _fuse_one_view(jnp.asarray(0), depths, all_src_used,
+                                 Kj, Rj, tj, num_consistent=3)
+    assert np.asarray(keep1).sum() == 0
+
+
 def test_get_mask_invalid_multistage():
     prob = np.zeros((3, 4, 4), np.float32)
     prob[1, 0, 0] = 0.9  # one stage confident at one pixel

@@ -35,17 +35,22 @@ def _compile() -> tuple[Path | None, bool]:
         return so, stamp.read_text().strip() == "full"
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
             "-march=native"]
+    # compile to a per-process temp path, then atomically publish, so a
+    # concurrent/interrupted build can never leave a truncated .so behind
+    tmp = so.with_suffix(f".{os.getpid()}.tmp.so")
     try:
         subprocess.run(base + [str(s) for s in srcs]
-                       + ["-o", str(so), "-ljpeg", "-lpng"],
+                       + ["-o", str(tmp), "-ljpeg", "-lpng"],
                        check=True, capture_output=True)
+        os.replace(tmp, so)
         stamp.write_text("full")
         return so, True
     except (subprocess.CalledProcessError, FileNotFoundError):
         pass
     try:
-        subprocess.run(base + [str(srcs[0]), "-o", str(so)],
+        subprocess.run(base + [str(srcs[0]), "-o", str(tmp)],
                        check=True, capture_output=True)
+        os.replace(tmp, so)
         stamp.write_text("kdtree")
         return so, False
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
@@ -53,6 +58,11 @@ def _compile() -> tuple[Path | None, bool]:
         print(f"wildmvs.cpp: native build failed ({e}); using scipy fallback",
               file=sys.stderr)
         return None, False
+    finally:
+        try:
+            tmp.unlink()
+        except OSError:
+            pass
 
 
 def get_lib():
@@ -65,7 +75,22 @@ def get_lib():
         if so is None:
             _LIB_FAILED = True
             return None
-        lib = ctypes.CDLL(str(so))
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            # Corrupt/truncated .so (e.g. a concurrently-interrupted build):
+            # drop the artifacts so the next process rebuilds, and fall back
+            # to scipy/PIL for this one rather than crash the callers.
+            import sys
+            print("wildmvs.cpp: failed to load native library; rebuilding "
+                  "next run, using scipy/PIL fallback", file=sys.stderr)
+            for p in (so, _HERE / ".native_build"):
+                try:
+                    p.unlink()
+                except OSError:
+                    pass
+            _LIB_FAILED = True
+            return None
         _HAS_IMAGE = has_image
         if has_image:
             lib.wmvs_load_batch.restype = ctypes.c_int

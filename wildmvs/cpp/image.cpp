@@ -94,7 +94,17 @@ DecodeResult decode_png(const char* path) {
   memset(&image, 0, sizeof image);
   image.version = PNG_IMAGE_VERSION;
   if (!png_image_begin_read_from_file(&image, path)) return out;
-  // match PIL's np.asarray(Image.open(...)): gray -> [H,W], color -> RGB
+  // match PIL's np.asarray(Image.open(...)): gray -> [H,W], color -> RGB.
+  // 16-bit, alpha and palette PNGs decode to DIFFERENT arrays under PIL
+  // (uint16 range / [H,W,4] / palette indices) — refuse those here so the
+  // caller's PIL fallback keeps the contract instead of silently
+  // normalizing (wmvs_load_batch reports the failure; data.loaders
+  // falls back for the batch).
+  if (image.format & (PNG_FORMAT_FLAG_LINEAR | PNG_FORMAT_FLAG_ALPHA |
+                      PNG_FORMAT_FLAG_COLORMAP)) {
+    png_image_free(&image);
+    return out;
+  }
   const bool gray =
       (image.format & (PNG_FORMAT_FLAG_COLOR | PNG_FORMAT_FLAG_COLORMAP)) == 0;
   image.format = gray ? PNG_FORMAT_GRAY : PNG_FORMAT_RGB;

@@ -256,7 +256,11 @@ class MegaDepthDataset:
         if t.ndim == 2:
             t = t[..., None]
         depth = None
-        if self.return_depth and self.mode == "train":
+        # the reference loads depth only for mode=="train" (md_yao.py:81-84)
+        # and then dereferences it for val too (md_yao.py:121-123) — a latent
+        # NameError there; we load it for every non-test split, matching the
+        # intended behavior (and the reference's own DTU loader).
+        if self.return_depth and self.mode != "test":
             with h5py.File(sp / f"depth_{cpt}.h5", "r") as f:
                 depth = np.array(f["depth"], np.float32)
         imgs = []
@@ -283,7 +287,6 @@ class MegaDepthDataset:
                "depth_min": npz["min_d"].astype(np.float32)[:n],
                "depth_max": npz["max_d"].astype(np.float32)[:n]}
         if self.mode == "test":
-            import h5py
             try:
                 depths, masks = [], []
                 for v in range(n):
@@ -359,7 +362,7 @@ class BlendedMVSDataset:
                 im, _ = decoded[i]
             K, R, t, dmin, dint = self._read_cam(
                 self.datapath / scene / "cams" / f"{name}_cam.txt")
-            if i == 0:
+            if i == 0 and self.return_depth:
                 dfile = (self.datapath / scene / "rendered_depth_maps"
                          / f"{name}.pfm")
                 depth = read_pfm(dfile)[0].astype(np.float32)
@@ -504,10 +507,12 @@ def build_datasets(config):
         return train, val, test
     if config.dataset == "blended":
         root = Path(override or "datasets/BlendedMVS")
+        # the reference forces return_depth=True for BlendedMVS regardless of
+        # supervision (blended.py:44) — keep that default; passing
+        # return_depth=False explicitly skips the PFM reads (our extension)
         train = BlendedMVSDataset(root, scene_list("blended_train"), "train",
-                                  nv, return_depth=config.supervised)
-        val = BlendedMVSDataset(root, scene_list("blended_val"), "val", nv,
-                                return_depth=config.supervised)
+                                  nv)
+        val = BlendedMVSDataset(root, scene_list("blended_val"), "val", nv)
         test = BlendedMVSDataset(root, scene_list("blended_val"), "test", 5)
         return train, val, test
     raise ValueError(config.dataset)

@@ -9,15 +9,16 @@ Algorithm (the Gipuma/fusibile scheme re-designed as per-view device kernels
     2. project into every other view, sample that view's depthmap
     3. consistent(i) := |d_projected - d_sampled| < disp_threshold *
        max(d_projected, d_sampled)  AND the sample lands in-frame with
-       positive depth
+       positive depth AND that source pixel has not already been consumed
+       by an earlier reference view
     4. keep pixels with >= num_consistent consistent views; the output point
        is the average of the reference unprojection and every consistent
        source unprojection (reduces noise like fusibile's averaging)
-    5. mark the consistent source pixels as used (they described the same
-       surface point)
+    5. mark the consistent source pixels AND the kept reference pixels as
+       used (they described the same surface point)
 
-The per-view step (1-4 + the source-pixel coordinates for 5) is one jitted
-function; the used-mask scatter runs on host numpy (tiny).
+The whole per-view step, including the used-mask scatter, is one jitted
+function; only the candidate points and keep mask cross to the host.
 """
 from __future__ import annotations
 
@@ -27,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..geometry.projective import pixel_grid, unproject
+from ..geometry.projective import pixel_grid, project, unproject
 
 
 @functools.partial(jax.jit, static_argnames=("disp_threshold",
@@ -46,9 +47,7 @@ def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
       used: [N, H, W] bool, pixels already consumed by earlier views.
       Ks, Rs, ts: [N, 3, 3]/[N, 3, 3]/[N, 3, 1].
     Returns:
-      (points [H*W, 3], keep [H*W] bool,
-       src_px [N, H*W, 2] int32 projected pixel coords,
-       src_consistent [N, H*W] bool).
+      (points [H*W, 3], keep [H*W] bool, new_used [N, H, W] bool).
     """
     n, h, w = depths.shape
     K0 = Ks[ref_idx]
@@ -62,17 +61,14 @@ def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
     valid = (ref_depth > 0) & (~ref_used)
 
     def per_view(i):
-        cam = pc @ Rs[i].T + ts[i][:, 0]
-        pix = cam @ Ks[i].T
-        d_proj = pix[..., 2]
-        proj = pix[..., :2] / jnp.maximum(d_proj, 1e-6)[..., None]
+        proj, d_proj = project(pc, Ks[i], Rs[i], ts[i])
         ix = jnp.round(proj[..., 0]).astype(jnp.int32)
         iy = jnp.round(proj[..., 1]).astype(jnp.int32)
         inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h) & (d_proj > 0)
         ixc = jnp.clip(ix, 0, w - 1)
         iyc = jnp.clip(iy, 0, h - 1)
         d_smp = depths[i][iyc, ixc]
-        consistent = (inb & (d_smp > 0)
+        consistent = (inb & (d_smp > 0) & (~used[i][iyc, ixc])
                       & (jnp.abs(d_proj - d_smp)
                          < disp_threshold * jnp.maximum(d_proj, d_smp))
                       & ~(i == ref_idx))
@@ -82,22 +78,19 @@ def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
             # COLMAP stereo_fusion's extra gate (colmap_utils.py:396 /
             # --fusion_max_reproj_error): the source point must land back
             # within `max_reproj_error` px of the reference pixel
-            back = src_pt @ R0.T + t0[:, 0]
-            bpix = back @ K0.T
-            bproj = bpix[..., :2] / jnp.maximum(bpix[..., 2], 1e-6)[..., None]
+            bproj, _ = project(src_pt, K0, R0, t0)
             consistent = consistent & (
                 jnp.linalg.norm(bproj - grid, axis=-1) < max_reproj_error)
-        return consistent, src_pt, jnp.stack([ixc, iyc], -1)
+        return consistent, src_pt, iyc * w + ixc
 
-    cons, pts, px = [], [], []
+    cons, pts, flat = [], [], []
     for i in range(n):
-        c, p, x = per_view(i)
+        c, p, f = per_view(i)
         cons.append(c)
         pts.append(p)
-        px.append(x)
+        flat.append(f)
     consistent = jnp.stack(cons)                       # [N, H, W]
     src_pts = jnp.stack(pts)                           # [N, H, W, 3]
-    src_px = jnp.stack(px)                             # [N, H, W, 2]
 
     count = jnp.sum(consistent, axis=0)
     # num_consistent counts the reference itself, like the in-repo filter
@@ -106,9 +99,14 @@ def _fuse_one_view(ref_idx: jnp.ndarray, depths: jnp.ndarray,
     # averaged 3D point: ref + consistent sources
     csum = jnp.sum(src_pts * consistent[..., None], axis=0) + pc
     point = csum / (count[..., None] + 1.0)
-    return (point.reshape(-1, 3), keep.reshape(-1),
-            src_px.reshape(n, -1, 2),
-            (consistent & keep[None]).reshape(n, -1))
+    # consume the agreeing source pixels and the kept reference pixels so
+    # later reference views neither re-fuse nor re-count this surface point
+    consumed = consistent & keep[None]
+    upd = [jnp.zeros((h * w,), bool).at[flat[i].reshape(-1)]
+           .max(consumed[i].reshape(-1)) for i in range(n)]
+    new_used = used | jnp.stack(upd).reshape(n, h, w)
+    new_used = new_used.at[ref_idx].set(new_used[ref_idx] | keep)
+    return point.reshape(-1, 3), keep.reshape(-1), new_used
 
 
 def fuse_depthmaps(depths: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
@@ -128,11 +126,11 @@ def fuse_depthmaps(depths: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
     n, h, w = depths.shape
     depths_j = jnp.asarray(depths)
     Ks_j, Rs_j, ts_j = jnp.asarray(Ks), jnp.asarray(Rs), jnp.asarray(ts)
-    used = np.zeros((n, h, w), bool)
+    used = jnp.zeros((n, h, w), bool)  # stays on device across views
     all_pts, all_cols = [], []
     for r in range(n):
-        point, keep, src_px, src_cons = _fuse_one_view(
-            jnp.asarray(r), depths_j, jnp.asarray(used), Ks_j, Rs_j, ts_j,
+        point, keep, used = _fuse_one_view(
+            jnp.asarray(r), depths_j, used, Ks_j, Rs_j, ts_j,
             disp_threshold=disp_threshold, num_consistent=num_consistent,
             max_reproj_error=max_reproj_error)
         keep_np = np.asarray(keep)
@@ -142,12 +140,6 @@ def fuse_depthmaps(depths: np.ndarray, Ks: np.ndarray, Rs: np.ndarray,
             if col.dtype != np.uint8:
                 col = (np.clip(col, 0, 1) * 255).astype(np.uint8)
             all_cols.append(col)
-        # mark consumed source pixels
-        src_px_np = np.asarray(src_px)
-        src_cons_np = np.asarray(src_cons)
-        for i in range(n):
-            sel = src_cons_np[i]
-            used[i, src_px_np[i, sel, 1], src_px_np[i, sel, 0]] = True
     points = np.concatenate(all_pts, axis=0) if all_pts else np.zeros((0, 3))
     cols = (np.concatenate(all_cols, axis=0) if colors is not None and all_cols
             else None)
