@@ -280,3 +280,27 @@ def test_megadepth_preprocessor(tmp_path):
     assert len(ds) >= 1
     s = ds[0]
     assert s["imgs"].shape == (3, 512, 512, 3)
+
+
+def test_dtu_eval_dataset(tmp_path):
+    """Per-scan layout scan{N}/{pair.txt,images/,cams/} with /32 crop and
+    per-view depth ranges (dtu_yao_eval.py:46-47,:73-74,:88-93)."""
+    root = tmp_path / "dtu_eval"
+    scan = "scan1"
+    h, w = 600, 800  # -> cropped to 576x800 (800 is already /32)
+    K = np.array([[1200.0, 0, w / 2], [0, 1200.0, h / 2], [0, 0, 1]])
+    (root / scan / "cams").mkdir(parents=True)
+    (root / scan / "pair.txt").write_text("2\n0\n1 1 100.0\n1\n1 0 100.0\n")
+    for vid in range(2):
+        _yao_cam(root / scan / "cams" / f"{vid:08d}_cam.txt", K, np.eye(3),
+                 np.array([[0.1 * vid], [0], [0]]), 425.0 + vid, 2.5)
+        _write_img(root / scan / "images" / f"{vid:08d}.jpg", h, w, vid)
+    ds = loaders.DTUEvalDataset(root, scan, 2)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["imgs"].shape == (2, 576, 800, 3)
+    assert s["filename"] == "00000000"
+    assert s["src_filenames"] == ["00000001"]
+    np.testing.assert_allclose(s["depth_min"], [425.0, 426.0])
+    np.testing.assert_allclose(s["depth_max"],
+                               [425.0 + 192 * 2.5, 426.0 + 192 * 2.5])

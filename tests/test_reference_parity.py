@@ -384,3 +384,194 @@ def test_cvp_mvsnet_forward_parity(ref_path):
     # unsqueeze); our contract normalizes to [B,H,W]
     assert max_err(out["photometric_confidence"],
                    ref_out["photometric_confidence"].squeeze(1)) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Data-loader parity: run the ACTUAL reference dataset classes as oracles on
+# fabricated mini-datasets and compare full sample dicts with our loaders
+# (dtu_yao.py / blended.py / md_yao.py executed from /root/reference).
+# Images: PNG decodes are bit-exact; JPEG allows 1-2 LSB for libjpeg IDCT
+# variants. Layout conventions differ only as documented in
+# wildmvs/data/loaders.py (channels-last; depth without the leading
+# 1-channel).
+# ---------------------------------------------------------------------------
+
+from wildmvs.data import codecs as _codecs  # noqa: E402
+from wildmvs.data import loaders as _loaders  # noqa: E402
+
+
+def _write_png(path, h, w, seed=0, binary=False):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if binary:
+        arr = ((rng.random((h, w)) > 0.3) * 255).astype(np.uint8)
+    else:
+        arr = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def _write_jpg(path, h, w, seed=0):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    # smooth content: sharp edges make Lanczos overshoot past uint8 range,
+    # where PIL's integer-path clamping diverges from any float resampler
+    base = (rng.random(((h + 7) // 8, (w + 7) // 8, 3)) * 200 + 25) \
+        .astype(np.uint8)
+    Image.fromarray(base).resize((w, h), Image.BILINEAR).save(path,
+                                                              quality=95)
+
+
+def _yao_cam(path, K, R, t, dmin, dint, count=None, dmax=None):
+    ext = np.eye(4)
+    ext[:3, :3] = R
+    ext[:3, 3:] = t
+    path.parent.mkdir(parents=True, exist_ok=True)
+    _codecs.write_cam_txt(path, ext, K, dmin, dint, count, dmax)
+
+
+def _cmp_sample(ours, ref_s, img_atol):
+    ref_np = {k: np.asarray(v) for k, v in ref_s.items()
+              if not isinstance(v, str)}
+    np.testing.assert_allclose(ours["imgs"].transpose(0, 3, 1, 2),
+                               ref_np["imgs"], atol=img_atol)
+    for k in ("K", "R", "t"):
+        np.testing.assert_allclose(ours[k], ref_np[k], rtol=1e-5, atol=1e-5)
+    for k in ("depth_min", "depth_max"):
+        np.testing.assert_allclose(ours[k], ref_np[k], rtol=1e-6)
+    if "depth" in ref_np:
+        ref_depth = ref_np["depth"]
+        if ref_depth.ndim == 3:  # reference keeps a leading 1-channel
+            ref_depth = ref_depth[0]
+        np.testing.assert_allclose(ours["depth"], ref_depth, rtol=1e-6)
+    if "mask" in ref_np:
+        ref_mask = ref_np["mask"].astype(np.float32)
+        if ref_mask.ndim == 3:
+            ref_mask = ref_mask[0]
+        np.testing.assert_allclose(ours["mask"].astype(np.float32), ref_mask)
+
+
+def test_dtu_train_loader_parity(ref_path, tmp_path):
+    root = tmp_path / "dtu"
+    h, w = 544, 672  # pre-crop -> center-cropped to 512x640
+    K = np.array([[700.0, 0, w / 2], [0, 700.0, h / 2], [0, 0, 1]])
+    (root / "Cameras").mkdir(parents=True)
+    (root / "Cameras" / "pair.txt").write_text(
+        "2\n0\n2 1 100.0 0 50.0\n1\n2 0 100.0 0 50.0\n")
+    rng = np.random.default_rng(7)
+    for vid in range(2):
+        _yao_cam(root / "Cameras" / "train" / f"{vid:08d}_cam.txt",
+                 K / np.array([[4], [4], [1]]), np.eye(3),
+                 np.array([[0.1 * vid], [0], [0]]), 425.0, 2.5)
+        for light in range(7):
+            _write_png(root / "Rectified" / "scan1_train"
+                       / f"rect_{vid + 1:03d}_{light}_r5000.png", h, w,
+                       seed=vid * 7 + light)
+        smooth = rng.random((h // 32, w // 32)) * 400 + 450
+        depth = np.kron(smooth, np.ones((8, 8))).astype(np.float32)
+        (root / "Depths" / "scan1_train").mkdir(parents=True, exist_ok=True)
+        _codecs.write_pfm(root / "Depths" / "scan1_train"
+                          / f"depth_map_{vid:04d}.pfm", depth)
+        _write_png(root / "Depths" / "scan1_train"
+                   / f"depth_visual_{vid:04d}.png", h // 4, w // 4,
+                   seed=vid, binary=True)
+
+    from data import dtu_yao
+    ref_ds = dtu_yao.MVSDataset(str(root), [1], "train", 2, return_depth=True)
+    ours = _loaders.DTUTrainDataset(root, [1], "train", 2, return_depth=True)
+    assert len(ref_ds) == len(ours) == 14  # same meta ordering contract
+    for idx in (0, 3, 13):
+        _cmp_sample(ours[idx], ref_ds[idx], img_atol=1e-6)
+
+
+def test_blended_val_loader_parity(ref_path, tmp_path):
+    root = tmp_path / "blended"
+    scene = "5a0271884e62597cdee0d0eb"
+    h, w = 608, 800  # pre-crop -> center-cropped to 576x768 in val mode
+    K = np.array([[600.0, 0, w / 2], [0, 600.0, h / 2], [0, 0, 1]])
+    (root / scene / "cams").mkdir(parents=True)
+    (root / scene / "cams" / "pair.txt").write_text(
+        "2\n0\n1 1 10.0\n1\n1 0 10.0\n")
+    rng = np.random.default_rng(5)
+    for vid in range(2):
+        name = f"{vid:08d}"
+        _yao_cam(root / scene / "cams" / f"{name}_cam.txt", K, np.eye(3),
+                 np.array([[0.2 * vid], [0], [0]]), 2.0, 0.05, 128,
+                 2.0 + 128 * 0.05)
+        _write_jpg(root / scene / "blended_images" / f"{name}.jpg", h, w,
+                   seed=vid)
+        smooth = rng.random((h // 32, w // 32)) * 5 + 2.5
+        depth = np.kron(smooth, np.ones((32, 32))).astype(np.float32)
+        (root / scene / "rendered_depth_maps").mkdir(exist_ok=True)
+        _codecs.write_pfm(root / scene / "rendered_depth_maps"
+                          / f"{name}.pfm", depth)
+
+    from data import blended
+    ref_ds = blended.MVSDataset(str(root), [scene], "val", 2)
+    ours = _loaders.BlendedMVSDataset(root, [scene], "val", 2)
+    assert len(ref_ds) == len(ours) == 2
+    for idx in (0, 1):
+        _cmp_sample(ours[idx], ref_ds[idx], img_atol=2 / 255)
+
+
+def test_megadepth_train_loader_parity(ref_path, tmp_path):
+    import h5py
+    root = tmp_path / "md"
+    scene = "0000"
+    sp = root / "train" / scene
+    sp.mkdir(parents=True)
+    h, w = 600, 800  # resized by min-side-512 LANCZOS, cropped to 512x512
+    K = np.tile(np.array([[500.0, 0, w / 2], [0, 500.0, h / 2], [0, 0, 1]],
+                         np.float32), (3, 1, 1))
+    R = np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))
+    t = np.zeros((3, 3, 1), np.float32)
+    rng = np.random.default_rng(11)
+    for cpt in range(2):
+        for v in range(3):
+            _write_jpg(sp / f"im_{cpt}_{v}.jpg", h, w, seed=cpt * 3 + v)
+        np.savez(sp / f"infos_{cpt}.npz", K=K, R=R, t=t,
+                 min_d=np.full(3, 2.0, np.float32),
+                 max_d=np.full(3, 8.0, np.float32))
+        smooth = rng.random((h // 8, w // 8)) * 5 + 2.5
+        depth = np.kron(smooth, np.ones((8, 8))).astype(np.float32)
+        with h5py.File(sp / f"depth_{cpt}.h5", "w") as f:
+            f["depth"] = depth
+
+    from data import md_yao
+    ref_ds = md_yao.MVSDataset(str(root), [scene], "train", 3,
+                               return_depth=True)
+    ours = _loaders.MegaDepthDataset(root, [scene], "train", 3,
+                                     return_depth=True)
+    assert len(ref_ds) == len(ours) == 2
+    for idx in (0, 1):
+        # JPEG + LANCZOS resize in both paths; nearest depth resample must
+        # be exact (torch F.interpolate floor map, md_yao.py:100-101)
+        _cmp_sample(ours[idx], ref_ds[idx], img_atol=3 / 255)
+
+
+def test_dtu_eval_loader_parity(ref_path, tmp_path):
+    root = tmp_path / "dtu_eval"
+    scan = "scan1"
+    h, w = 600, 800  # full-res -> /32 top-left crop to 576x768 (test mode)
+    K = np.array([[1200.0, 0, w / 2], [0, 1200.0, h / 2], [0, 0, 1]])
+    (root / scan).mkdir(parents=True)
+    (root / scan / "pair.txt").write_text(
+        "2\n0\n1 1 100.0\n1\n1 0 100.0\n")
+    for vid in range(2):
+        _yao_cam(root / scan / "cams" / f"{vid:08d}_cam.txt", K, np.eye(3),
+                 np.array([[0.1 * vid], [0], [0]]), 425.0 + vid, 2.5)
+        _write_jpg(root / scan / "images" / f"{vid:08d}.jpg", h, w, seed=vid)
+
+    from pathlib import Path
+    from data import dtu_yao_eval
+    ref_ds = dtu_yao_eval.MVSDataset(Path(str(root)), [1], "test", 2)
+    ours = _loaders.DTUEvalDataset(root, scan, 2)
+    assert len(ref_ds) == len(ours) == 2
+    for idx in (0, 1):
+        ref_s, our_s = ref_ds[idx], ours[idx]
+        _cmp_sample(our_s, ref_s, img_atol=2 / 255)
+        assert our_s["filename"] == ref_s["filename"]
+        assert our_s["src_filenames"] == ref_s["src_filenames"]
+        # per-view ranges: view 1's cam carries a different depth_min
+        assert our_s["depth_min"][1] != our_s["depth_min"][0]

@@ -271,10 +271,20 @@ class MegaDepthDataset:
             im, r = decoded[v]
             newK = rescale_calib(r, K[v])
             if depth is not None and v == 0:
-                # nearest-resize depth to the image, then crop together
-                import cv2
-                depth = cv2.resize(depth, (im.shape[1], im.shape[0]),
-                                   interpolation=cv2.INTER_NEAREST)
+                # nearest-resize depth to the image, then crop together —
+                # index map floor(i * in/out) with the scale AND product in
+                # float32, exactly torch's F.interpolate(mode="nearest") CPU
+                # kernel (md_yao.py:100-101; bit-for-bit at column 2*out=in
+                # boundaries where float64 rounds the other way)
+                nh, nw = im.shape[:2]
+                dh, dw = depth.shape
+                ys = np.floor(np.arange(nh, dtype=np.float32)
+                              * (np.float32(dh) / np.float32(nh)))
+                xs = np.floor(np.arange(nw, dtype=np.float32)
+                              * (np.float32(dw) / np.float32(nw)))
+                ys = np.minimum(ys.astype(np.int64), dh - 1)
+                xs = np.minimum(xs.astype(np.int64), dw - 1)
+                depth = depth[np.ix_(ys, xs)]
                 im, newK, depth = center_crop(im, K=newK, depth=depth,
                                               mode=self.mode, height=512,
                                               width=512)
@@ -392,15 +402,16 @@ class BlendedMVSDataset:
 
 class DTUEvalDataset:
     """DTU evaluation scans at full resolution. Parity: data/dtu_yao_eval.py:
-    crop to /32, depth range min + interval*192 with interval scaled by
-    192/128... (the eval cams carry a 2.5mm interval; depth_max uses
-    interval * 192)."""
+    per-scan layout scan{N}/{pair.txt,images/,cams/} (dtu_yao_eval.py:46-47,
+    :88-89), crop to /32, per-view depth range with the interval scaled by
+    192/128 then max = min + 128*interval (= min + 192*raw interval,
+    dtu_yao_eval.py:73-74,:93)."""
 
     def __init__(self, datapath, scan: str, nviews: int):
         self.datapath = Path(datapath)
         self.scan = scan
         self.nviews = nviews
-        self.pairs = read_pair_txt(self.datapath / "Cameras" / "pair.txt")
+        self.pairs = read_pair_txt(self.datapath / scan / "pair.txt")
 
     def __len__(self):
         return len(self.pairs)
@@ -408,13 +419,12 @@ class DTUEvalDataset:
     def __getitem__(self, idx):
         ref, srcs = self.pairs[idx]
         view_ids = [ref] + srcs[:self.nviews - 1]
-        imgs, Ks, Rs, ts = [], [], [], []
-        dmin = dmax = 0.0
+        imgs, Ks, Rs, ts, dmins, dmaxs = [], [], [], [], [], []
         decoded = read_images([
             self.datapath / self.scan / "images" / f"{vid:08d}.jpg"
             for vid in view_ids])
         for i, vid in enumerate(view_ids):
-            cam_file = self.datapath / "Cameras" / f"{vid:08d}_cam.txt"
+            cam_file = self.datapath / self.scan / "cams" / f"{vid:08d}_cam.txt"
             im, _ = decoded[i]
             K, R, t, d0, dint = read_yao_cam(cam_file)
             im, K = center_crop(im, K=K, mode="test")
@@ -422,13 +432,12 @@ class DTUEvalDataset:
             Ks.append(K)
             Rs.append(R)
             ts.append(t)
-            if i == 0:
-                dmin, dmax = d0, d0 + dint * 192
-        n = self.nviews
+            dmins.append(d0)
+            dmaxs.append(d0 + dint * 192)
         return {"imgs": np.stack(imgs), "K": np.stack(Ks), "R": np.stack(Rs),
                 "t": np.stack(ts),
-                "depth_min": np.full((n,), dmin, np.float32),
-                "depth_max": np.full((n,), dmax, np.float32),
+                "depth_min": np.array(dmins, np.float32),
+                "depth_max": np.array(dmaxs, np.float32),
                 "filename": f"{ref:08d}",
                 "src_filenames": [f"{v:08d}" for v in srcs[:self.nviews - 1]]}
 
