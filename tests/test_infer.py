@@ -69,3 +69,23 @@ def test_predictor_batched_and_scalar_ranges():
                float(s["depth_max"][0]))
     assert out["depth"].shape == (2, 16, 16)
     np.testing.assert_allclose(out["depth"][0], out["depth"][1], atol=1e-6)
+
+
+def test_predictor_ragged_view_sizes():
+    """A list of per-view images with heterogeneous sizes (in-the-wild
+    scenes): each view is /32-cropped independently; output tracks the
+    reference view's grid."""
+    s = sample()
+    views = [s["imgs"][0], s["imgs"][1],
+             np.pad(s["imgs"][2], ((0, 39), (0, 7), (0, 0)))]  # 103x71 -> /32 crop
+    pred = Predictor(architecture="mvsnet", bf16=False)
+    out = pred(views, s["K"], s["R"], s["t"], s["depth_min"],
+               s["depth_max"])
+    assert out["depth"].shape == (16, 16)
+    assert np.isfinite(out["depth"]).all()
+    # a uniform list behaves exactly like the stacked array
+    out_l = pred(list(s["imgs"]), s["K"], s["R"], s["t"], s["depth_min"],
+                 s["depth_max"])
+    out_a = pred(s["imgs"], s["K"], s["R"], s["t"], s["depth_min"],
+                 s["depth_max"])
+    np.testing.assert_array_equal(out_l["depth"], out_a["depth"])

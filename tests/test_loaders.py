@@ -304,3 +304,34 @@ def test_dtu_eval_dataset(tmp_path):
     np.testing.assert_allclose(s["depth_min"], [425.0, 426.0])
     np.testing.assert_allclose(s["depth_max"],
                                [425.0 + 192 * 2.5, 426.0 + 192 * 2.5])
+
+
+def test_megadepth_test_mode_ragged_views(tmp_path):
+    """Test-mode n-uplets keep each view's native /32 size; when sizes
+    differ the sample's imgs is a per-view LIST (md_yao.py:126 semantics —
+    the reference always returns a list in test mode; we stack when
+    uniform)."""
+    import h5py
+    root = tmp_path / "md"
+    sp = root / "test" / "0000"
+    sp.mkdir(parents=True)
+    sizes = [(512, 672), (512, 512), (480, 704)]
+    K = np.tile(np.array([[500.0, 0, 256], [0, 500.0, 256], [0, 0, 1]],
+                         np.float32), (3, 1, 1))
+    R = np.tile(np.eye(3, dtype=np.float32), (3, 1, 1))
+    t = np.zeros((3, 3, 1), np.float32)
+    for v, (h, w) in enumerate(sizes):
+        _write_img(sp / f"im_0_{v}.jpg", h, w, v)
+    np.savez(sp / "infos_0.npz", K=K, R=R, t=t,
+             min_d=np.full(3, 2.0, np.float32),
+             max_d=np.full(3, 8.0, np.float32))
+    for v, (h, w) in enumerate(sizes):
+        with h5py.File(sp / f"depth_0_{v}.h5", "w") as f:
+            f["depth"] = np.full((h, w), 4.0, np.float32)
+    ds = loaders.MegaDepthDataset(root, ["0000"], "test", 3)
+    s = ds[0]
+    assert isinstance(s["imgs"], list) and len(s["imgs"]) == 3
+    for im, (h, w) in zip(s["imgs"], sizes):
+        assert im.shape == (h, w, 3)
+    assert s["depth"].shape == sizes[0]
+    assert len(s["depth_list"]) == 3

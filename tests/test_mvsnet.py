@@ -157,3 +157,36 @@ def test_vis_mvsnet_fusion_modes(rng, mode):
     variables = model.init(jax.random.PRNGKey(0), *args, train=False)
     out = model.apply(variables, *args, train=False)
     assert np.isfinite(np.asarray(out["depth"])).all()
+
+
+@pytest.mark.parametrize("arch", ["mvsnet", "vis_mvsnet", "cvp_mvsnet"])
+def test_ragged_view_sizes(rng, arch):
+    """Heterogeneous per-view sizes (the in-the-wild eval contract): imgs as
+    a tuple of [B,Hi,Wi,3] views — the reference accepts lists at
+    model.py:179-182 / frontend.py:43-44 and its MegaDepth/YFCC test samples
+    genuinely vary per view (md_yao.py:126). The output must track the
+    reference view's grid, and when every view happens to be the same size
+    the tuple form must match the stacked form exactly."""
+    kw = {"mvsnet": dict(num_depth=16),
+          "vis_mvsnet": dict(depth_nums=(8, 4, 4),
+                             interval_scales=(4.0, 2.0, 1.0)),
+          "cvp_mvsnet": dict(nscale=2)}[arch]
+    model = build_model(arch, **kw)
+    imgs, K, R, t, dmin, dmax = _sample(rng, h=64, w=64)
+    variables = model.init(jax.random.PRNGKey(0), imgs, K, R, t, dmin, dmax,
+                           train=False)
+
+    # same-size tuple == stacked array, bit for bit
+    tup = tuple(imgs[:, i] for i in range(imgs.shape[1]))
+    out_a = model.apply(variables, imgs, K, R, t, dmin, dmax, train=False)
+    out_b = model.apply(variables, tup, K, R, t, dmin, dmax, train=False)
+    np.testing.assert_array_equal(np.asarray(out_a["depth"]),
+                                  np.asarray(out_b["depth"]))
+
+    # crop source view 2 to 64x32 (top-left, K unchanged) -> genuinely ragged
+    ragged = (imgs[:, 0], imgs[:, 1], imgs[:, 2, :, :32])
+    out_r = model.apply(variables, ragged, K, R, t, dmin, dmax, train=False)
+    d = np.asarray(out_r["depth"])
+    assert d.shape == np.asarray(out_a["depth"]).shape  # ref grid unchanged
+    assert np.isfinite(d).all()
+    assert (d >= 2.0 - 1e-3).all() and (d <= 6.0 + 1e-3).all()

@@ -575,3 +575,33 @@ def test_dtu_eval_loader_parity(ref_path, tmp_path):
         assert our_s["src_filenames"] == ref_s["src_filenames"]
         # per-view ranges: view 1's cam carries a different depth_min
         assert our_s["depth_min"][1] != our_s["depth_min"][0]
+
+
+def test_vis_mvsnet_ragged_forward_parity(ref_path):
+    """Heterogeneous per-view sizes, the in-the-wild eval contract: the
+    reference frontend accepts a LIST of differently-sized views
+    (frontend.py:43-44, featurized per view :59-62) — crop one source to a
+    smaller /32 size (top-left, K unchanged) and demand the same depth."""
+    from models.VisMVSNet.frontend import Frontend as RefFrontend
+    torch.manual_seed(0)
+    ref_net = RefFrontend().eval()
+
+    b = make_inputs(h=64, w=64)
+    kw = dict(depth_nums=[16, 8, 8], interval_scales=[4.0, 2.0, 1.0])
+    timgs, tK, tR, tt, tdmin, tdmax = torch_args(b)
+    tlist = [timgs[:, 0], timgs[:, 1], timgs[:, 2][..., :32]]
+    with torch.no_grad():
+        ref_out = ref_net(tlist, tK, tR, tt, tdmin, tdmax,
+                          reference_frame=0, **kw)
+
+    model = build_model("vis_mvsnet")
+    variables = import_into(model, ref_net.state_dict(), b, **kw)
+    jimgs, jK, jR, jt, jdmin, jdmax = jax_args(b)
+    jlist = (jimgs[:, 0], jimgs[:, 1], jimgs[:, 2, :, :32])
+    out = model.apply(variables, jlist, jK, jR, jt, jdmin, jdmax,
+                      reference_frame=0, train=False, **kw)
+
+    assert max_err(out["depth"], ref_out["depth"]) < 3e-3
+    for i in range(3):
+        assert max_err(out["depth_est_list"][i],
+                       ref_out["depth_est_list"][i]) < 3e-3

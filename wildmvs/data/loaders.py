@@ -61,6 +61,16 @@ def read_images(paths, resize_to: tuple | None = None):
     return out
 
 
+def stack_views(imgs: list):
+    """Stack per-view images when they share a shape; otherwise return the
+    list unchanged (the reference's in-the-wild test samples carry per-view
+    sizes and return lists, md_yao.py:126 / yfcc_scene.py:78; models accept
+    both forms)."""
+    if len({im.shape for im in imgs}) == 1:
+        return np.stack(imgs)
+    return imgs
+
+
 def center_crop(im: np.ndarray, K: np.ndarray | None = None,
                 depth: np.ndarray | None = None, mode: str = "train",
                 height: int = 512, width: int = 640):
@@ -293,7 +303,7 @@ class MegaDepthDataset:
                                        height=512, width=512)
             K[v] = newK
             imgs.append(im)
-        ret = {"imgs": np.stack(imgs), "K": K, "R": R, "t": t,
+        ret = {"imgs": stack_views(imgs), "K": K, "R": R, "t": t,
                "depth_min": npz["min_d"].astype(np.float32)[:n],
                "depth_max": npz["max_d"].astype(np.float32)[:n]}
         if self.mode == "test":
@@ -476,7 +486,7 @@ class YFCCSceneDataset:
 
     def __getitem__(self, idx):
         view_ids = [idx] + list(self.src_imgs[idx])
-        return {"imgs": np.stack([self.imgs[i] for i in view_ids]),
+        return {"imgs": stack_views([self.imgs[i] for i in view_ids]),
                 "K": self.K[view_ids], "R": self.R[view_ids],
                 "t": self.t[view_ids],
                 "depth_min": self.depth_min[view_ids].astype(np.float32),

@@ -94,15 +94,39 @@ class Predictor:
 
     def __call__(self, imgs, K, R, t, depth_min, depth_max,
                  reference_frame: int = 0) -> dict:
-        """imgs [N,H,W,3] or [B,N,H,W,3] float in [0,1]; K/R [.,N,3,3],
-        t [.,N,3,1], depth_min/max [.,N] or scalar. Returns numpy f32
-        {depth, confidence} without the batch axis when input was unbatched.
-        """
+        """imgs [N,H,W,3] or [B,N,H,W,3] float in [0,1] — or a list of
+        per-view [Hi,Wi,3] / [B,Hi,Wi,3] arrays with heterogeneous sizes
+        (in-the-wild scenes; each view is /32-cropped independently);
+        K/R [.,N,3,3], t [.,N,3,1], depth_min/max [.,N] or scalar. Returns
+        numpy f32 {depth, confidence} without the batch axis when input was
+        unbatched."""
         import jax.numpy as jnp
 
-        imgs = np.asarray(imgs, np.float32)
-        batched = imgs.ndim == 5
-        n = imgs.shape[1] if batched else imgs.shape[0]
+        ragged = (isinstance(imgs, (list, tuple))
+                  and len({tuple(np.asarray(v).shape[-3:-1])
+                           for v in imgs}) > 1)
+        if ragged:
+            views = [np.asarray(v, np.float32) for v in imgs]
+            batched = views[0].ndim == 4
+            if not batched:
+                views = [v[None] for v in views]
+            views = [self._crop32(v, None)[0] for v in views]
+            n = len(views)
+            nb = views[0].shape[0]
+            imgs_j = tuple(jnp.asarray(v) for v in views)
+        else:
+            if isinstance(imgs, (list, tuple)):
+                imgs = np.stack([np.asarray(v) for v in imgs],
+                                axis=1 if np.asarray(imgs[0]).ndim == 4
+                                else 0)
+            imgs = np.asarray(imgs, np.float32)
+            batched = imgs.ndim == 5
+            n = imgs.shape[1] if batched else imgs.shape[0]
+            if not batched:
+                imgs = imgs[None]
+            imgs, _ = self._crop32(imgs, None)
+            nb = imgs.shape[0]
+            imgs_j = jnp.asarray(imgs)
 
         def prep(x):
             x = np.asarray(x, np.float32)  # [., N, r, c] -> batched 4-D
@@ -110,20 +134,18 @@ class Predictor:
                 x = x[None]
             return x
 
-        if not batched:
-            imgs = imgs[None]
         K, R, t = prep(K), prep(R), prep(t)
 
         def prep_range(x):
             x = np.asarray(x, np.float32)
             if x.ndim < 2:
-                x = np.broadcast_to(x, (imgs.shape[0], n)).copy()
+                x = np.broadcast_to(x, (nb, n)).copy()
             return x
 
         dmin, dmax = prep_range(depth_min), prep_range(depth_max)
 
-        imgs, K = self._crop32(imgs, K)
-        args = tuple(jnp.asarray(a) for a in (imgs, K, R, t, dmin, dmax))
+        args = (imgs_j,) + tuple(jnp.asarray(a)
+                                 for a in (K, R, t, dmin, dmax))
         self._ensure_loaded(args)
         depth, conf = self._fwd(*args, reference_frame)
         depth = np.asarray(depth, np.float32)

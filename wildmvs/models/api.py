@@ -16,12 +16,30 @@ Inputs here are channels-last: imgs [B, N, H, W, 3]; K/R [B, N, 3, 3];
 t [B, N, 3, 1]; depth_min/max [B, N]. `reference_frame` must be a static
 python int (it selects views at trace time, as in the reference where it is
 the process rank).
+
+`imgs` may instead be a list/tuple of per-view [B, Hi, Wi, 3] arrays with
+HETEROGENEOUS sizes — the in-the-wild eval contract (the reference accepts
+lists at model.py:179-182 / frontend.py:43-44, and its MegaDepth/YFCC test
+samples genuinely carry per-view sizes, md_yao.py:126). Views are unbound
+at trace time, so every shape stays static for XLA.
 """
 from __future__ import annotations
 
 from typing import Any, Callable, Dict
 
 MODEL_REGISTRY: Dict[str, Callable[..., Any]] = {}
+
+
+def view_list(imgs):
+    """Normalize the `imgs` input to (views, ragged): a per-view list of
+    [B, Hi, Wi, C] arrays plus whether sizes differ across views. Uniform
+    lists are NOT restacked — callers stack when they want the batched
+    path."""
+    if isinstance(imgs, (list, tuple)):
+        views = list(imgs)
+        ragged = len({tuple(v.shape[1:3]) for v in views}) > 1
+        return views, ragged
+    return [imgs[:, i] for i in range(imgs.shape[1])], False
 
 
 def register_model(name: str):

@@ -31,7 +31,7 @@ from ..geometry.projective import scale_K
 from ..nn.blocks import ConvBnReLU, ConvTransposeBnReLU, TorchConv
 from ..ops.plane_sweep import plane_sweep_warp
 from ..ops.volumes import depth_regression, photometric_confidence
-from .api import register_model
+from .api import register_model, view_list
 
 
 def _bilinear_half(x: jnp.ndarray) -> jnp.ndarray:
@@ -178,53 +178,82 @@ class CVPMVSNet(nn.Module):
     def __call__(self, imgs, K, R, t, depth_min, depth_max,
                  reference_frame: int = 0, train: bool = False, **kwargs):
         nscale = int(kwargs.get("nscale", self.nscale))
-        b, n, h, w, c = imgs.shape
+        views, ragged = view_list(imgs)
+        n = len(views)
+        b = views[0].shape[0]
+        dtype = views[0].dtype
         ref = reference_frame
         order = [ref] + [i for i in range(n) if i != ref]
         nsrc = n - 1
+        h, w = views[ref].shape[1:3]
+        c = views[ref].shape[-1]
         dmin = depth_min[:, ref]
         dmax = depth_max[:, ref]
 
         fp_net = FeaturePyramidNet(dtype=self.dtype, name="feature_pyramid")
         reg_net = CVPCostRegNet(dtype=self.dtype, name="cost_reg_refine")
 
-        # image pyramid + per-level features, all views in one batched call
-        level_imgs = [imgs.reshape(b * n, h, w, c)]
-        for _ in range(nscale - 1):
-            level_imgs.append(_bilinear_half(level_imgs[-1]))
-        feats = []
-        for li in level_imgs:
-            f = fp_net(li)
-            fh, fw = f.shape[1:3]
-            f = f.reshape(b, n, fh, fw, -1)[:, jnp.array(order)]
-            feats.append(f)
+        # image pyramid + per-level features; feats[level][i] is the ordered
+        # view i's [B, fh_i, fw_i, C] features (ref first)
+        if ragged:
+            # heterogeneous view sizes: one pyramid per view (each level a
+            # static shape), like the reference's per-view calls (net.py)
+            pyr = []
+            for i in order:
+                lv = [views[i]]
+                for _ in range(nscale - 1):
+                    lv.append(_bilinear_half(lv[-1]))
+                pyr.append(lv)
+            feats = [[fp_net(pyr[vi][lvl]) for vi in range(n)]
+                     for lvl in range(nscale)]
+            level_ratio = [
+                [pyr[vi][lvl].shape[1] / pyr[vi][0].shape[1]
+                 for vi in range(n)] for lvl in range(nscale)]
+        else:
+            stacked = imgs if not isinstance(imgs, (list, tuple)) \
+                else jnp.stack(views, axis=1)
+            level_imgs = [stacked.reshape(b * n, h, w, c)]
+            for _ in range(nscale - 1):
+                level_imgs.append(_bilinear_half(level_imgs[-1]))
+            feats = []
+            for li in level_imgs:
+                f = fp_net(li)
+                fh, fw = f.shape[1:3]
+                f = f.reshape(b, n, fh, fw, -1)[:, jnp.array(order)]
+                feats.append([f[:, i] for i in range(n)])
+            level_ratio = [[li.shape[1] / h] * n for li in level_imgs]
 
         Ko = K[:, jnp.array(order)]
         Ro = R[:, jnp.array(order)]
         to = t[:, jnp.array(order)]
 
+        def level_K(level):
+            # per-view intrinsics at this pyramid level (conditionIntrinsics
+            # semantics, modules.py:31-46); ratios differ per view only when
+            # ragged
+            return jnp.stack([scale_K(Ko[:, i], level_ratio[level][i])
+                              for i in range(n)], axis=1)
+
         def level_proj(level):
-            ratio = level_imgs[level].shape[1] / h
-            Ks = scale_K(Ko, ratio)
             from ..geometry.projective import build_proj_matrices
-            return build_proj_matrices(Ks, Ro, to)  # [B, N, 4, 4]
+            return build_proj_matrices(level_K(level), Ro, to)  # [B,N,4,4]
 
         # ---- coarsest level: full sweep ----
         nhyp = 48 if train else 96
         interval = (dmax - dmin) / nhyp  # (max-min)/D (modules.py:58)
-        steps = jnp.arange(nhyp, dtype=imgs.dtype)
+        steps = jnp.arange(nhyp, dtype=dtype)
         depth_hypos = dmin[:, None] + steps * interval[:, None]  # [B, D]
 
         proj = level_proj(nscale - 1)
         fcoarse = feats[nscale - 1]
-        fh, fw = fcoarse.shape[2:4]
+        fh, fw = fcoarse[0].shape[1:3]
         warp_fns = [
-            (lambda i=i: plane_sweep_warp(fcoarse[:, i], proj[:, i],
+            (lambda i=i: plane_sweep_warp(fcoarse[i], proj[:, i],
                                           proj[:, 0], depth_hypos, (fh, fw)))
             for i in range(1, n)
         ]
         from ..ops.volumes import variance_cost_volume
-        cost = variance_cost_volume(fcoarse[:, 0], warp_fns=warp_fns,
+        cost = variance_cost_volume(fcoarse[0], warp_fns=warp_fns,
                                     num_depth=nhyp)
         prob = nn.softmax(reg_net(cost, train), axis=1)
         depth = depth_regression(prob, depth_hypos)
@@ -233,26 +262,25 @@ class CVPMVSNet(nn.Module):
         # ---- refinement levels ----
         for id_level, level in enumerate(range(nscale - 2, -1, -1)):
             depth_up = _bicubic_double(depth)
-            fh, fw = feats[level].shape[2:4]
+            flevel = feats[level]
+            fh, fw = flevel[0].shape[1:3]
             if train:
                 # fixed halved intervals (net.py:177-182)
                 isz = ((dmax - dmin) / 48.0 / (2.0 ** (id_level + 1)))
-                offs = jnp.arange(-4, 4, dtype=imgs.dtype).reshape(1, 8, 1, 1)
+                offs = jnp.arange(-4, 4, dtype=dtype).reshape(1, 8, 1, 1)
                 hyp = depth_up[:, None] + offs * isz[:, None, None, None]
             else:
-                ratio = level_imgs[level].shape[1] / h
-                Ks = scale_K(Ko, ratio)
+                Ks = level_K(level)
                 hyp = cal_depth_hypo(depth_up, Ks[:, 0], Ks[:, 1],
                                      Ro[:, 0], to[:, 0], Ro[:, 1], to[:, 1],
                                      dmin, dmax)
             proj = level_proj(level)
-            flevel = feats[level]
             warp_fns = [
-                (lambda i=i: plane_sweep_warp(flevel[:, i], proj[:, i],
+                (lambda i=i: plane_sweep_warp(flevel[i], proj[:, i],
                                               proj[:, 0], hyp, (fh, fw)))
                 for i in range(1, n)
             ]
-            cost = variance_cost_volume(flevel[:, 0], warp_fns=warp_fns,
+            cost = variance_cost_volume(flevel[0], warp_fns=warp_fns,
                                         num_depth=hyp.shape[1])
             prob = nn.softmax(reg_net(cost, train), axis=1)
             depth = depth_regression(prob, hyp)

@@ -29,7 +29,7 @@ from ..nn.blocks import ConvBnReLU, ConvTransposeBnReLU, TorchConv
 from ..ops.plane_sweep import plane_sweep_warp
 from ..ops.volumes import (depth_regression, photometric_confidence,
                            softmin_cost_volume, variance_cost_volume)
-from .api import register_model
+from .api import register_model, view_list
 
 
 class FeatureNet(nn.Module):
@@ -97,33 +97,48 @@ class MVSNet(nn.Module):
     @nn.compact
     def __call__(self, imgs, K, R, t, depth_min, depth_max,
                  reference_frame: int = 0, train: bool = False, **kwargs):
-        b, n, h, w, _ = imgs.shape
+        views, ragged = view_list(imgs)
+        n = len(views)
+        b = views[0].shape[0]
+        dtype = views[0].dtype
 
         # projection matrices at 1/4 feature resolution (model.py:183-185)
         proj = build_proj_matrices(scale_K(K, 0.25), R, t)  # [B, N, 4, 4]
 
         # 192 uniformly spaced hypotheses per view's own range (model.py:187-189)
-        steps = jnp.arange(self.num_depth, dtype=imgs.dtype)
+        steps = jnp.arange(self.num_depth, dtype=dtype)
         interval = (depth_max - depth_min) / (self.num_depth - 1)  # [B, N]
         depth_values = depth_min[..., None] + interval[..., None] * steps  # [B,N,D]
 
         fnet = FeatureNet(dtype=self.dtype, name="feature")
-        if self.batched_bn or not train:
+        feats = None  # stacked [B, N, fh, fw, C] when views are uniform
+        if ragged:
+            # heterogeneous view sizes (in-the-wild eval): one trace-time
+            # featurization per view, each with its own static shape
+            feats_l = [fnet(v, train) for v in views]
+        elif self.batched_bn or not train:
             # eval: running BN stats make batched == per-view; use one call
-            feats = fnet(imgs.reshape(b * n, h, w, 3), train)
+            h, w = views[0].shape[1:3]
+            stacked = imgs if not isinstance(imgs, (list, tuple)) \
+                else jnp.stack(views, axis=1)
+            feats = fnet(stacked.reshape(b * n, h, w, 3), train)
             fh, fw = feats.shape[1:3]
             feats = feats.reshape(b, n, fh, fw, -1)
         else:
             # per-view featurization for train-mode BN parity
-            feats = jnp.stack([fnet(imgs[:, i], train) for i in range(n)],
-                              axis=1)
-            fh, fw = feats.shape[2:4]
+            feats = jnp.stack([fnet(v, train) for v in views], axis=1)
+        if feats is not None:
+            feats_l = [feats[:, i] for i in range(n)]
         if self.aggregation.startswith("norm"):
-            feats = feats / jnp.linalg.norm(feats, axis=-1,
-                                            keepdims=True).clip(1e-12)
+            feats_l = [f / jnp.linalg.norm(f, axis=-1,
+                                           keepdims=True).clip(1e-12)
+                       for f in feats_l]
+            feats = (jnp.stack(feats_l, axis=1) if feats is not None
+                     else None)
 
         src_idx = [i for i in range(n) if i != reference_frame]
-        ref_feature = feats[:, reference_frame]
+        ref_feature = feats_l[reference_frame]
+        fh, fw = ref_feature.shape[1:3]
         ref_proj = proj[:, reference_frame]
         ref_depths = depth_values[:, reference_frame]  # [B, D]
 
@@ -136,6 +151,8 @@ class MVSNet(nn.Module):
         method = self.sweep_method
         if method == "auto":
             method = "gather"
+        if ragged:
+            method = "gather"  # the wide/pallas studies assume uniform srcs
         if method == "pallas" and not train and fh % 8 == 0:
             from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
         else:
@@ -164,7 +181,7 @@ class MVSNet(nn.Module):
                                            (fh, fw), agg_fn)
         else:
             warp_fns = [
-                (lambda i=i: warp_fn(feats[:, i], proj[:, i], ref_proj,
+                (lambda i=i: warp_fn(feats_l[i], proj[:, i], ref_proj,
                                      ref_depths, (fh, fw)))
                 for i in src_idx
             ]

@@ -41,7 +41,7 @@ from ..losses.supervised import resize_bilinear
 from ..nn.blocks import ConvBnReLU, TorchConv, UNet
 from ..ops.plane_sweep import homography_sweep_warp
 from ..ops.volumes import entropy, groupwise_correlation, soft_argmin
-from .api import register_model
+from .api import register_model, view_list
 
 
 class FeatExt(nn.Module):
@@ -195,7 +195,9 @@ class VisMVSNet(nn.Module):
         depth_nums = tuple(kwargs.get("depth_nums", self.depth_nums))
         interval_scales = tuple(kwargs.get("interval_scales",
                                            self.interval_scales))
-        b, n, h, w, c = imgs.shape
+        views, ragged = view_list(imgs)
+        n = len(views)
+        b = views[0].shape[0]
         ref = reference_frame
         order = [ref] + [i for i in range(n) if i != ref]
         # depth interval over 128 steps of the REference view (frontend.py:27)
@@ -204,20 +206,29 @@ class VisMVSNet(nn.Module):
         d_interval = depth_interval.reshape(b, 1, 1, 1)
 
         fext = FeatExt(dtype=self.dtype, name="feat_ext")
-        if self.batched_bn or not train:
-            feats = fext(imgs.reshape(b * n, h, w, c), train)
-            feats = [f.reshape((b, n) + f.shape[1:])[:, jnp.array(order)]
-                     for f in feats]
+        if ragged:
+            # heterogeneous view sizes: featurize per view (the reference's
+            # own structure, frontend.py:59-62); each shape stays static
+            per_view = [fext(views[i], train) for i in order]
+            feats = [[per_view[i][lvl] for i in range(n)]
+                     for lvl in range(3)]
+        elif self.batched_bn or not train:
+            h, w, c = views[0].shape[1:]
+            stacked = imgs if not isinstance(imgs, (list, tuple)) \
+                else jnp.stack(views, axis=1)
+            packs = fext(stacked.reshape(b * n, h, w, c), train)
+            feats = [[f.reshape((b, n) + f.shape[1:])[:, i] for i in order]
+                     for f in packs]
         else:
-            per_view = [fext(imgs[:, i], train) for i in range(n)]
-            feats = [jnp.stack([per_view[i][lvl] for i in range(n)], axis=1)
-                     [:, jnp.array(order)] for lvl in range(3)]
+            per_view = [fext(views[i], train) for i in order]
+            feats = [[per_view[i][lvl] for i in range(n)]
+                     for lvl in range(3)]
         cams = {"K": K[:, jnp.array(order)], "R": R[:, jnp.array(order)],
                 "t": t[:, jnp.array(order)]}
 
         def stage_feats(level):
             f = feats[level]
-            return f[:, 0], [f[:, i] for i in range(1, n)]
+            return f[0], f[1:]
 
         # ---- stage 1 (1/8) ----
         ref1, srcs1 = stage_feats(0)

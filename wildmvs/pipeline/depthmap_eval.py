@@ -41,7 +41,7 @@ def _debug_visu(sample, est_up, out_dir):
     error map as jpgs under out_dir/visu."""
     from ..utils.monitor import Logger
     logger = Logger(Path(out_dir) / "visu")
-    n = sample["imgs"].shape[0]
+    n = len(sample["imgs"])
     ims = {"im_ref": np.asarray(sample["imgs"][0])}
     for i in range(1, n):
         ims[f"im_src_{i - 1}"] = np.asarray(sample["imgs"][i])
@@ -73,8 +73,13 @@ def evaluate(dataset, model, variables, cvp_nscale=None,
         if i % process_count != process_index:
             continue
         s = dataset[i]
-        args = tuple(jnp.asarray(s[k])[None] for k in
-                     ("imgs", "K", "R", "t", "depth_min", "depth_max"))
+        imgs = s["imgs"]
+        if isinstance(imgs, list):  # heterogeneous view sizes (test mode)
+            imgs = tuple(jnp.asarray(v)[None] for v in imgs)
+        else:
+            imgs = jnp.asarray(imgs)[None]
+        args = (imgs,) + tuple(jnp.asarray(s[k])[None] for k in
+                               ("K", "R", "t", "depth_min", "depth_max"))
         depth = fwd(*args)
         gt = jnp.asarray(s["depth"])[None]
         mask = jnp.asarray(s["mask"])[None]

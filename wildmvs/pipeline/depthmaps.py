@@ -78,8 +78,15 @@ def run_depthmaps(dataset, model, variables, out_dir: Path,
         out_file = out_dir / f"{filename}_out.npz"
         if out_file.exists() and not override:
             continue
-        args = tuple(jnp.asarray(sample[k])[None] for k in
-                     ("imgs", "K", "R", "t", "depth_min", "depth_max"))
+        imgs = sample["imgs"]
+        if isinstance(imgs, list):
+            # heterogeneous view sizes (in-the-wild scenes): the model takes
+            # a per-view tuple; jit re-traces per shape combination
+            imgs = tuple(jnp.asarray(v)[None] for v in imgs)
+        else:
+            imgs = jnp.asarray(imgs)[None]
+        args = (imgs,) + tuple(jnp.asarray(sample[k])[None] for k in
+                               ("K", "R", "t", "depth_min", "depth_max"))
         depth, prob = fwd(*args)
         # cast: bf16 eval outputs would round-trip through npz as raw void
         np.savez_compressed(
