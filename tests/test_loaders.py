@@ -151,8 +151,7 @@ def _synthetic_colmap_scene(root, n_views=4, n_points=60):
     cams = {1: cm.Camera(1, "PINHOLE", w, h,
                          np.array([600.0, 600.0, w / 2, h / 2]))}
     pts_w = rng.uniform(-1, 1, (n_points, 3)) + [0, 0, 4.0]
-    images = {}
-    Rs, ts = [], []
+    Rs, ts, vis_all, px_all = [], [], [], []
     for i in range(n_views):
         ang = 0.15 * (i - n_views / 2)
         c, s = np.cos(ang), np.sin(ang)
@@ -163,14 +162,22 @@ def _synthetic_colmap_scene(root, n_views=4, n_points=60):
         px = proj[:, :2] / proj[:, 2:]
         vis = ((px >= 0).all(1) & (px[:, 0] < w) & (px[:, 1] < h)
                & (cam[:, 2] > 0))
-        ids = np.where(vis)[0]
-        images[i + 1] = cm.Image(
-            i + 1, cm.rotmat2qvec(R), t[:, 0], 1, f"im_{i}.jpg",
-            px[ids], ids.astype(np.int64))
         Rs.append(R)
         ts.append(t)
+        vis_all.append(vis)
+        px_all.append(px)
+    # COLMAP only keeps triangulated tracks (track length >= 2); its images
+    # never reference nonexistent points
+    track_len = np.sum(np.stack(vis_all), axis=0)
+    keep = track_len >= 2
+    images = {}
+    for i in range(n_views):
+        ids = np.where(vis_all[i] & keep)[0]
+        images[i + 1] = cm.Image(
+            i + 1, cm.rotmat2qvec(Rs[i]), ts[i][:, 0], 1, f"im_{i}.jpg",
+            px_all[i][ids], ids.astype(np.int64))
     points = {}
-    for j in range(n_points):
+    for j in np.where(keep)[0]:
         obs_ims, obs_idx = [], []
         for i in range(n_views):
             where = np.where(images[i + 1].point3D_ids == j)[0]

@@ -61,6 +61,15 @@ def ref_path():
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.utils"] = tv.utils
         sys.modules["torchvision.transforms"] = tv.transforms
+    # the reference's CVP module calls np.seterr(all='raise') at IMPORT time
+    # (models/CVP_MVSNet/models/modules.py:12), which would poison every
+    # later numpy op in this process (denormals in matmuls raise). Trigger
+    # the import once here and restore the error state.
+    saved_err = np.geterr()
+    try:
+        import models.CVP_MVSNet.models.modules  # noqa: F401
+    finally:
+        np.seterr(**saved_err)
     yield REF
     torch.Tensor.cuda = orig_cuda
     torch.nn.Module.cuda = orig_mod_cuda
@@ -605,3 +614,50 @@ def test_vis_mvsnet_ragged_forward_parity(ref_path):
     for i in range(3):
         assert max_err(out["depth_est_list"][i],
                        ref_out["depth_est_list"][i]) < 3e-3
+
+
+def test_yfcc_scene_loader_parity(ref_path, tmp_path):
+    """YFCC in-the-wild scene construction: COLMAP sparse ingest, source
+    selection (co-visibility + >=75% well-triangulated gate), 1/99th
+    percentile depth ranges — the reference yfcc_scene.MVSDataset +
+    utils/colmap_utils run as the oracle over a model WRITTEN by our codec
+    (write_model -> their read_model also checks codec interop)."""
+    from tests.test_loaders import _synthetic_colmap_scene
+    _synthetic_colmap_scene(tmp_path)
+
+    # the reference uses long-removed numpy aliases (colmap_utils.py:106-124)
+    shims = {}
+    for name, py in (("int", int), ("bool", bool), ("float", float)):
+        if not hasattr(np, name):
+            shims[name] = py
+            setattr(np, name, py)
+    try:
+        from data import yfcc_scene
+        with np.errstate(under="ignore"):  # denormals in their R_rel matmul
+            ref_ds = yfcc_scene.MVSDataset(str(tmp_path), ["scene1"],
+                                           "test", 3)
+    finally:
+        for name in shims:
+            delattr(np, name)
+
+    ours = _loaders.YFCCSceneDataset(tmp_path, "scene1", nviews=3)
+    assert ours.names == ref_ds.names
+    np.testing.assert_allclose(ours.K, ref_ds.K, rtol=1e-6)
+    np.testing.assert_allclose(ours.R, ref_ds.R, atol=1e-6)
+    np.testing.assert_allclose(ours.t, ref_ds.t, rtol=1e-6)
+    np.testing.assert_allclose(ours.depth_min, ref_ds.depth_min, rtol=1e-6)
+    np.testing.assert_allclose(ours.depth_max, ref_ds.depth_max, rtol=1e-6)
+    assert [list(s) for s in ours.src_imgs] == \
+        [list(s) for s in ref_ds.src_imgs]
+    assert len(ours) == len(ref_ds)
+    for idx in range(len(ours)):
+        ref_s, our_s = ref_ds[idx], ours[idx]
+        ref_imgs = np.stack([np.asarray(im) for im in ref_s["imgs"]])
+        np.testing.assert_allclose(
+            np.asarray(our_s["imgs"]).transpose(0, 3, 1, 2), ref_imgs,
+            atol=2 / 255)
+        for k in ("K", "R", "t", "depth_min", "depth_max"):
+            np.testing.assert_allclose(our_s[k], np.asarray(ref_s[k]),
+                                       rtol=1e-5, atol=1e-6)
+        assert our_s["filename"] == ref_s["filename"]
+        assert our_s["src_filenames"] == ref_s["src_filenames"]
