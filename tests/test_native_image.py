@@ -203,7 +203,10 @@ def test_prefetch_inline_mode_identical():
     assert a == b
 
 
-def test_prefetch_batches_drop_last():
+def test_prefetch_batches_keeps_tail():
+    """The reference's DataLoader defaults to drop_last=False
+    (train.py:120-122): tail samples must reach the loop as a partial
+    batch, and a batch_size larger than the dataset still yields one."""
     ds = _SlowDataset(10)
 
     def collate(samples):
@@ -211,6 +214,8 @@ def test_prefetch_batches_drop_last():
 
     out = list(prefetch.iterate_batches(ds, np.arange(10), 4, collate,
                                         num_workers=2))
-    assert len(out) == 2  # 10 // 4, drop-last (train.py:118 drop_last=True)
-    assert out[0]["x"].shape == (4, 2)
-    np.testing.assert_allclose(out[1]["x"][:, 0], [4, 5, 6, 7])
+    assert [o["x"].shape[0] for o in out] == [4, 4, 2]
+    np.testing.assert_allclose(out[2]["x"][:, 0], [8, 9])
+    out = list(prefetch.iterate_batches(ds, np.arange(3), 16, collate,
+                                        num_workers=2))
+    assert [o["x"].shape[0] for o in out] == [3]

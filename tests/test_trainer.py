@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 import pytest
 
 from wildmvs.data.synthetic import SyntheticMVSDataset, collate
@@ -138,3 +139,72 @@ def test_set_epoch_lr_updates_optimizer():
     state = T.set_epoch_lr(state, cfg, epoch=5)
     assert float(state.opt_state.hyperparams["learning_rate"]) == \
         pytest.approx(1e-4)
+
+
+def test_metrics_empty_mask_is_nan():
+    """An image with no valid GT pixels must surface as NaN (the reference's
+    values[mask].mean() over an empty selection), not silently contribute 0
+    (models/utils.py:122-133)."""
+    from wildmvs.train.metrics import depth_metrics
+    est = jnp.ones((2, 4, 4))
+    gt = jnp.ones((2, 4, 4)) * 2.0
+    mask = jnp.stack([jnp.ones((4, 4)), jnp.zeros((4, 4))])
+    m = depth_metrics(est, gt, mask, jnp.zeros(2), jnp.full((2,), 128.0))
+    assert np.isnan(float(m["EPE"]))
+    m_ok = depth_metrics(est, gt, jnp.ones((2, 4, 4)), jnp.zeros(2),
+                         jnp.full((2,), 128.0))
+    assert np.isfinite(float(m_ok["EPE"]))
+
+
+def test_optimizer_matches_torch_adam_with_weight_decay():
+    """torch.optim.Adam's weight_decay is COUPLED L2 (wd*p added to the
+    gradient before the moment updates, train.py:139) — one step of our
+    optimizer must land on torch's parameters exactly."""
+    torch = pytest.importorskip("torch")
+    from wildmvs.train.trainer import make_optimizer
+
+    p0 = np.array([0.5, -1.2, 3.0], np.float32)
+    g = np.array([0.1, -0.4, 0.02], np.float32)
+    lr, wd = 1e-3, 0.1
+
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    opt = torch.optim.Adam([tp], lr=lr, betas=(0.9, 0.999), weight_decay=wd)
+    tp.grad = torch.tensor(g)
+    for _ in range(3):
+        opt.step()
+    want = tp.detach().numpy()
+
+    config = TrainConfig(architecture="mvsnet", dataset="synthetic", lr=lr,
+                         weight_decay=wd)
+    tx = make_optimizer(config)
+    params = {"w": jnp.asarray(p0)}
+    opt_state = tx.init(params)
+    for _ in range(3):
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), want, atol=1e-6)
+
+
+def test_occ_masking_multiscale_vis_mvsnet():
+    """Multi-scale occ_masking (vis_mvsnet): the cross-view gather is
+    PER SCALE (the reference all-gathers the current scale's depth inside
+    the per-scale loss loop, models/trainer.py:246-247), for both the train
+    step and the validation loss (the reference's val runs the same masked
+    loss, train.py:217-230)."""
+    cfg = TrainConfig(architecture="vis_mvsnet", dataset="synthetic",
+                      supervised=False, occ_masking=True)
+    batch = make_batch(h=64, w=64)
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    state, m = T.train_step(state, batch, cfg)
+    assert np.isfinite(float(m["train_loss"]))
+    ev = T.eval_step(state, batch, cfg)
+    assert np.isfinite(float(ev["val_loss"]))
+    # the occ-masked validation loss must differ from the unmasked one —
+    # before the fix eval_step silently fell back to the plain photometric
+    # loss with reference view 0 only
+    cfg_plain = TrainConfig(architecture="vis_mvsnet", dataset="synthetic",
+                            supervised=False, occ_masking=False)
+    ev_plain = T.eval_step(state, batch, cfg_plain)
+    assert float(ev["val_loss"]) != pytest.approx(
+        float(ev_plain["val_loss"]), rel=1e-6)

@@ -49,11 +49,11 @@ def iterate(dataset, indices, num_workers: int = 4, prefetch_depth: int = 8):
 
 def iterate_batches(dataset, order, batch_size: int, collate,
                     num_workers: int = 4, prefetch_depth: int = 8):
-    """Batched variant: yields collate([...]) of consecutive index groups
-    (drop-last, like the reference's DataLoader(drop_last=True),
-    train.py:118)."""
-    n_full = (len(order) // batch_size) * batch_size
-    samples = iterate(dataset, order[:n_full], num_workers=num_workers,
+    """Batched variant: yields collate([...]) of consecutive index groups,
+    INCLUDING a final partial batch — the reference's DataLoader defaults to
+    drop_last=False (train.py:120-122), so tail samples are never skipped
+    (the jitted step recompiles once for the tail size)."""
+    samples = iterate(dataset, order, num_workers=num_workers,
                       prefetch_depth=max(prefetch_depth, batch_size))
     buf = []
     for s in samples:
@@ -61,3 +61,5 @@ def iterate_batches(dataset, order, batch_size: int, collate,
         if len(buf) == batch_size:
             yield collate(buf)
             buf = []
+    if buf:
+        yield collate(buf)

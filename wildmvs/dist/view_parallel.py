@@ -83,15 +83,20 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
             outs.append(jax.lax.switch(
                 vidx, [make_fwd(v * per_shard + k) for v in range(vshards)],
                 None))
-        my_stack = jnp.stack(
-            [resize_bilinear(o["depth"], (lh, lw)) for o in outs], axis=1)
-
-        # exchange depthmaps across the view axis (ICI all_gather);
+        # exchange depthmaps across the view axis (ICI all_gather), one
+        # gather PER SCALE — the reference all-gathers the current scale's
+        # depth inside the per-scale loss loop (models/trainer.py:246-247);
         # tiled=True concatenates shard blocks along axis 1 -> [B, N, lh, lw]
-        all_depths = jax.lax.all_gather(my_stack, "view", axis=1, tiled=True)
-        # others' depthmaps are detached — like gloo all_gather's grad-less
-        # tensors; our own grad path is re-inserted by loss_from_outputs
-        all_depths = jax.lax.stop_gradient(all_depths)
+        n_scales = len(outs[0]["depth_est_list"])
+        all_depths = []
+        for i in range(n_scales):
+            my = jnp.stack([resize_bilinear(o["depth_est_list"][i], (lh, lw))
+                            for o in outs], axis=1)
+            g = jax.lax.all_gather(my, "view", axis=1, tiled=True)
+            # others' depthmaps are detached — like gloo all_gather's
+            # grad-less tensors; our own grad path is re-inserted by
+            # loss_from_outputs
+            all_depths.append(jax.lax.stop_gradient(g))
 
         total = jnp.zeros(())
         for k, out in enumerate(outs):

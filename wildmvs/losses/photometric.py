@@ -14,6 +14,9 @@ import jax.numpy as jnp
 from ..geometry.projective import flows_from_single_depthmap, normalize_flow
 from ..ops.grid_sample import grid_sample
 from .ssim import dssim
+# canonical masked mean lives with the supervised losses; re-exported here
+# because the photometric callers (and the trainer) import it from this module
+from .supervised import masked_mean  # noqa: F401
 
 
 def get_flow_from_depthmap(depth_est: jnp.ndarray, proj_mat: jnp.ndarray,
@@ -110,9 +113,3 @@ def masked_photometric_loss(imgs: jnp.ndarray, all_depthmaps: jnp.ndarray,
     return jnp.stack(ssims, axis=1), jnp.stack(masks, axis=1)
 
 
-def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
-    """sum(v*m)/sum(m), returning 0 (with graph) for an empty mask.
-    Parity: models/trainer.py:170-174."""
-    msum = jnp.sum(mask)
-    total = jnp.sum(values * mask)
-    return jnp.where(msum > 0, total / jnp.maximum(msum, 1.0), total)

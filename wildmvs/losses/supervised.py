@@ -37,6 +37,15 @@ def downsample_gt(gt: jnp.ndarray, mask: jnp.ndarray, hw: tuple[int, int]):
     return gt_d, mask_d
 
 
+def masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """sum(v*m)/sum(m), returning 0 (with graph) for an empty mask — the ONE
+    masked-mean every loss routes through (parity: models/trainer.py:170-174,
+    models/utils.py:110-119's empty-mask guard)."""
+    msum = jnp.sum(mask)
+    total = jnp.sum(values * mask)
+    return jnp.where(msum > 0, total / jnp.maximum(msum, 1.0), total)
+
+
 def masked_l1_interval(depth_est: jnp.ndarray, gt: jnp.ndarray,
                        mask: jnp.ndarray, depth_interval: jnp.ndarray):
     """Masked mean L1 in units of depth_interval = (max-min)/128.
@@ -49,7 +58,7 @@ def masked_l1_interval(depth_est: jnp.ndarray, gt: jnp.ndarray,
     Returns: scalar loss.
     """
     l1 = jnp.abs(depth_est - gt) / depth_interval[:, None, None]
-    return jnp.sum(l1 * mask) / jnp.maximum(jnp.sum(mask), 1e-12)
+    return masked_mean(l1, mask)
 
 
 def bayesian_loss(l: jnp.ndarray, uncertainty: jnp.ndarray,
@@ -59,8 +68,4 @@ def bayesian_loss(l: jnp.ndarray, uncertainty: jnp.ndarray,
     Parity: models/utils.py:110-119 (`bayesian_version_loss`): returns 0 but
     keeps the graph when the mask is empty.
     """
-    msum = jnp.sum(mask)
-    uncert = jnp.sum((l * jnp.exp(-uncertainty) + uncertainty) * mask)
-    org = jnp.sum(l * mask)
-    safe = jnp.maximum(msum, 1e-12)
-    return jnp.where(msum > 0, (uncert + org) / safe, uncert + org)
+    return masked_mean(l * jnp.exp(-uncertainty) + uncertainty + l, mask)

@@ -86,6 +86,8 @@ def run(config: TrainConfig, max_epochs: int | None = None,
     train_ds, val_ds, test_ds = build_datasets(config)
     rng = np.random.default_rng(config.seed)
 
+    if len(train_ds) == 0:
+        raise ValueError("training dataset is empty — check --data_path")
     first = next(batches(train_ds, config.batch_size,
                          np.arange(len(train_ds))))
     state = T.create_train_state(config, jax.random.PRNGKey(config.seed), first)

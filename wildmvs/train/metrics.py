@@ -12,10 +12,16 @@ import jax.numpy as jnp
 
 def _per_image_masked_mean(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over masked pixels per image, then mean over the batch.
-    Parity: models/utils.py:122-133 (compute_metrics_for_each_image)."""
+    Parity: models/utils.py:122-133 (compute_metrics_for_each_image) — an
+    image with an EMPTY mask yields NaN, exactly like the reference's
+    `values[mask].mean()` over an empty selection, so a degenerate eval
+    sample is visible instead of silently deflating the averages."""
     m = mask.astype(values.dtype)
-    per_img = jnp.sum(values * m, axis=(1, 2)) / jnp.maximum(
-        jnp.sum(m, axis=(1, 2)), 1e-12)
+    msum = jnp.sum(m, axis=(1, 2))
+    per_img = jnp.where(msum > 0,
+                        jnp.sum(values * m, axis=(1, 2))
+                        / jnp.maximum(msum, 1.0),
+                        jnp.nan)
     return jnp.mean(per_img)
 
 

@@ -49,10 +49,16 @@ class TrainState(struct.PyTreeNode):
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     """Adam (betas 0.9/0.999, optional weight decay) with the MultiStepLR
     epoch schedule injected as a mutable hyperparameter.
-    Parity: train.py:139,170-173."""
-    return optax.inject_hyperparams(optax.adamw)(
-        learning_rate=config.lr, b1=0.9, b2=0.999,
-        weight_decay=config.weight_decay)
+    Parity: train.py:139,170-173 — torch.optim.Adam's weight_decay is
+    COUPLED L2 (wd*param added to the gradient before the moment updates),
+    not AdamW's decoupled decay, so it is expressed as add_decayed_weights
+    ahead of the Adam transform."""
+    def adam_l2(learning_rate):
+        return optax.chain(
+            optax.add_decayed_weights(config.weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999),
+            optax.scale(-learning_rate))
+    return optax.inject_hyperparams(adam_l2)(learning_rate=config.lr)
 
 
 def set_epoch_lr(state: TrainState, config: TrainConfig, epoch: int) -> TrainState:
@@ -106,8 +112,11 @@ def loss_from_outputs(outputs, batch, config: TrainConfig, ref_idx: int,
                       all_depthmaps=None):
     """Assemble the full training loss from one reference view's outputs.
 
-    Parity: models/trainer.py:106-206.  `all_depthmaps` ([B, N, H', W'] at
-    loss resolution, others detached) enables the occlusion-masked variant.
+    Parity: models/trainer.py:106-206.  `all_depthmaps` (one [B, N, H', W']
+    PER SCALE at loss resolution, others detached) enables the
+    occlusion-masked variant — the reference all-gathers the CURRENT
+    scale's depth inside the per-scale loop (models/trainer.py:246-247),
+    so each scale masks against same-scale cross-view depths.
     """
     imgs = batch["imgs"]
     b, n, h, w, c = imgs.shape
@@ -150,7 +159,7 @@ def loss_from_outputs(outputs, batch, config: TrainConfig, ref_idx: int,
             continue
         d_up = resize_bilinear(d, (lh, lw))
         if config.occ_masking and all_depthmaps is not None:
-            all_d = all_depthmaps.at[:, ref_idx].set(d_up)  # our grad path
+            all_d = all_depthmaps[i].at[:, ref_idx].set(d_up)  # our grad path
             ssim, mask = masked_photometric_loss(
                 loss_imgs, all_d, proj, ref_idx, config.geom_clamping)
         else:
@@ -170,6 +179,19 @@ def loss_from_outputs(outputs, batch, config: TrainConfig, ref_idx: int,
             u = resize_bilinear(unc, (lh, lw))[:, None]
             loss = loss + factor * bayesian_loss(ssim, u, mask.astype(ssim.dtype))
     return loss
+
+
+def _per_scale_gather(outs, hw):
+    """[B, N, H', W'] of detached cross-view depths, one per scale — the
+    analogue of the reference's per-scale dist.all_gather
+    (models/trainer.py:246-247)."""
+    n_scales = len(outs[0]["depth_est_list"])
+    return [
+        jnp.stack([jax.lax.stop_gradient(
+            resize_bilinear(o["depth_est_list"][i], hw)) for o in outs],
+            axis=1)
+        for i in range(n_scales)
+    ]
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -206,9 +228,7 @@ def train_step(state: TrainState, batch, config: TrainConfig):
                 if r == 0:
                     stats = mut["batch_stats"]
                 outs.append(out_r)
-            all_d = jnp.stack(
-                [jax.lax.stop_gradient(resize_bilinear(o["depth"], (lh, lw)))
-                 for o in outs], axis=1)
+            all_d = _per_scale_gather(outs, (lh, lw))
             total = jnp.zeros(())
             for r in range(n):
                 total = total + loss_from_outputs(outs[r], batch, config, r,
@@ -229,11 +249,27 @@ def train_step(state: TrainState, batch, config: TrainConfig):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def eval_step(state: TrainState, batch, config: TrainConfig):
-    """Validation loss (no grad, running BN stats). Parity: train.py:217-230."""
+    """Validation loss (no grad, running BN stats). Parity: train.py:217-230
+    — the reference's val loop runs the SAME Trainer.step loss as training,
+    so occ_masking validation also computes all N reference views and the
+    occlusion-masked photometric loss (mean over ranks, like the epoch
+    all_reduce in utils/trainer.py:25-35)."""
     model = create_model(config)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    out = model.apply(variables, *forward_args(batch, config),
-                      reference_frame=0, train=False)
+    args = forward_args(batch, config)
+    if config.occ_masking and not config.supervised:
+        n = batch["imgs"].shape[1]
+        h, w = batch["imgs"].shape[2:4]
+        lh, lw = h // config.output_down, w // config.output_down
+        outs = [model.apply(variables, *args, reference_frame=r, train=False)
+                for r in range(n)]
+        all_d = _per_scale_gather(outs, (lh, lw))
+        total = jnp.zeros(())
+        for r in range(n):
+            total = total + loss_from_outputs(outs[r], batch, config, r,
+                                              all_depthmaps=all_d)
+        return {"val_loss": total / n}
+    out = model.apply(variables, *args, reference_frame=0, train=False)
     return {"val_loss": loss_from_outputs(out, batch, config, 0)}
 
 
