@@ -294,3 +294,37 @@ def test_restore_params_partial(tmp_path):
     np.testing.assert_array_equal(p2["w"], params["w"])
     np.testing.assert_array_equal(s2["bn"]["mean"], stats["bn"]["mean"])
     assert meta["architecture"] == "mvsnet"
+
+
+def test_geometric_filter_ragged_sources(scene):
+    """Per-view source depthmaps with heterogeneous sizes (in-the-wild
+    scenes): each source normalizes sampling by its OWN size. A top-left
+    crop of a source keeps its K valid, so interior pixels still pass."""
+    s = scene[0]
+    ref_depth = scene.depths[0]
+    srcs = [scene.depths[1], scene.depths[2], scene.depths[3][:32, :48]]
+    masks = geometric_filter(jnp.asarray(ref_depth),
+                             [jnp.asarray(d) for d in srcs],
+                             jnp.asarray(s["K"]), jnp.asarray(s["R"]),
+                             jnp.asarray(s["t"]), num_consistent=3,
+                             min_tri_angle=0.0)
+    geo = np.asarray(masks["geo_mask"])
+    assert geo[8:-8, 8:-8].mean() > 0.9
+
+
+def test_fusion_ragged_depth_sizes(scene):
+    """fuse_depthmaps accepts per-view depth maps with different sizes and
+    still reconstructs the GT plane from the consistent views."""
+    K, R, t = _cams(scene)
+    depths = [scene.depths[0], scene.depths[1], scene.depths[2],
+              scene.depths[3][:32, :48]]
+    colors = [scene.imgs[i][:d.shape[0], :d.shape[1]]
+              for i, d in enumerate(depths)]
+    points, cols = fuse_depthmaps(depths, K, R, t, colors=colors,
+                                  disp_threshold=0.01, num_consistent=3)
+    assert points.shape[0] > 500
+    assert cols.shape == points.shape
+    A = np.concatenate([points[:, :2], np.ones((len(points), 1))], axis=1)
+    coef, *_ = np.linalg.lstsq(A, points[:, 2], rcond=None)
+    rms = np.sqrt(np.mean((points[:, 2] - A @ coef) ** 2))
+    assert rms < 0.01, rms

@@ -661,3 +661,70 @@ def test_yfcc_scene_loader_parity(ref_path, tmp_path):
                                        rtol=1e-5, atol=1e-6)
         assert our_s["filename"] == ref_s["filename"]
         assert our_s["src_filenames"] == ref_s["src_filenames"]
+
+
+def test_float_map_codec_parity(ref_path, tmp_path):
+    """Gipuma .dmb and COLMAP float-array files are CHANNEL-PLANAR
+    (fusibile.py:27-63, colmap_utils.py:233-279): cross-read multi-channel
+    maps both directions against the reference codecs — a self-round-trip
+    cannot catch a layout mismatch."""
+    from evaluation.fusibile import read_gipuma_dmb, write_gipuma_dmb
+    from utils.colmap_utils import read_array, write_array
+
+    rng = np.random.default_rng(0)
+    normals = rng.standard_normal((17, 23, 3)).astype(np.float32)
+    depth = rng.random((17, 23)).astype(np.float32)
+
+    # ours -> reference
+    _codecs.write_dmb(tmp_path / "a.dmb", normals)
+    np.testing.assert_array_equal(read_gipuma_dmb(str(tmp_path / "a.dmb")),
+                                  normals)
+    _codecs.write_colmap_array(tmp_path / "a.bin", normals)
+    np.testing.assert_array_equal(read_array(str(tmp_path / "a.bin")),
+                                  normals)
+    # reference -> ours
+    write_gipuma_dmb(str(tmp_path / "b.dmb"), normals)
+    np.testing.assert_array_equal(_codecs.read_dmb(tmp_path / "b.dmb"),
+                                  normals)
+    write_array(normals, str(tmp_path / "b.bin"))
+    np.testing.assert_array_equal(
+        _codecs.read_colmap_array(tmp_path / "b.bin"), normals)
+    # single-channel maps squeeze to [H, W] in both codecs
+    write_gipuma_dmb(str(tmp_path / "d.dmb"), depth)
+    np.testing.assert_array_equal(_codecs.read_dmb(tmp_path / "d.dmb"),
+                                  depth)
+    _codecs.write_colmap_array(tmp_path / "d.bin", depth)
+    np.testing.assert_array_equal(read_array(str(tmp_path / "d.bin")), depth)
+
+
+def test_images_txt_zero_point_image_parity(ref_path, tmp_path):
+    """An image with an EMPTY POINTS2D line (zero observations) must parse —
+    the reference reads the points line unconditionally
+    (read_write_model_colmap.py:205-226), and our own writer emits empty
+    lines for such images."""
+    from wildmvs.data import colmap_model as cm
+    from utils.read_write_model_colmap import read_images_text
+
+    images = {
+        1: cm.Image(1, np.array([1.0, 0, 0, 0]), np.zeros(3), 1, "a.jpg",
+                    np.zeros((0, 2)), np.zeros((0,), np.int64)),
+        2: cm.Image(2, np.array([1.0, 0, 0, 0]), np.ones(3), 1, "b.jpg",
+                    np.array([[1.0, 2.0], [3.0, 4.0]]),
+                    np.array([7, -1], np.int64)),
+    }
+    cams = {1: cm.Camera(1, "PINHOLE", 64, 48,
+                         np.array([50.0, 50.0, 32.0, 24.0]))}
+    pts = {7: cm.Point3D(7, np.ones(3), np.array([0, 0, 0]), 0.1,
+                         np.array([2], np.int32), np.array([0], np.int32))}
+    cm.write_model(cams, images, pts, tmp_path, ".txt")
+
+    ours = cm.read_model(tmp_path)[1]
+    assert set(ours) == {1, 2}
+    assert ours[1].xys.shape[0] == 0
+    assert ours[2].name == "b.jpg"
+    np.testing.assert_array_equal(ours[2].point3D_ids, [7, -1])
+
+    theirs = read_images_text(str(tmp_path / "images.txt"))
+    assert set(theirs) == {1, 2}
+    assert theirs[1].xys.shape[0] == 0
+    np.testing.assert_array_equal(theirs[2].point3D_ids, [7, -1])

@@ -91,3 +91,52 @@ def test_hyp_slab_sharding_matches_unsharded():
                        )(v, args)
         d_sh = jax.device_get(d_sh)
     assert float(jnp.abs(d_ref - d_sh).max()) < 1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_view_parallel_data_sharding_averages_gradients():
+    """With data > 1 the loss/gradients are pmean'd over BOTH mesh axes —
+    DDP averages across every rank, and the returned loss must be genuinely
+    replicated. A batch of two IDENTICAL samples makes each data shard's
+    local BN statistics equal the full-batch ones, so the sharded step must
+    reproduce the single-program step exactly (before the fix, gradients
+    were 2x and train_loss was an arbitrary shard's value)."""
+    n = 4
+    cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
+                      supervised=False, occ_masking=True, num_im_train=n,
+                      num_depth=8, batch_size=2)
+    one = make_batch(n, b=1)
+    batch = {k: jnp.concatenate([v, v], axis=0) for k, v in one.items()}
+    state = T.create_train_state(cfg, jax.random.PRNGKey(0), batch)
+    ref_state, ref_metrics = T.train_step(state, batch, cfg)
+
+    mesh = make_mesh(data=2, view=4, hyp=1, devices=jax.devices())
+    step = make_view_parallel_train_step(mesh, cfg)
+    rstate = state.replace(step=replicate(state.step, mesh),
+                           params=replicate(state.params, mesh),
+                           batch_stats=replicate(state.batch_stats, mesh),
+                           opt_state=replicate(state.opt_state, mesh))
+    new_state, metrics = step(rstate, shard_batch(batch, mesh))
+
+    np.testing.assert_allclose(float(metrics["train_loss"]),
+                               float(ref_metrics["train_loss"]), rtol=2e-4)
+    # Adam normalizes away small psum reduction-order noise unevenly; allow
+    # slightly more than the data=1 metamorphic test
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+    # sharper averaging check with two DISTINCT samples: each data shard
+    # holds exactly one, and its local BN equals a b=1 single-program run,
+    # so the replicated sharded loss must equal the mean of the two
+    # single-sample losses (an unaveraged/unreplicated loss cannot)
+    s0 = make_batch(n, b=1, seed=0)
+    s1 = make_batch(n, b=1, seed=5)
+    mixed = {k: jnp.concatenate([s0[k], s1[k]], axis=0) for k in s0}
+    _, m_mixed = step(rstate, shard_batch(mixed, mesh))
+    losses = []
+    for s in (s0, s1):
+        _, m = T.train_step(state, s, cfg)
+        losses.append(float(m["train_loss"]))
+    np.testing.assert_allclose(float(m_mixed["train_loss"]),
+                               np.mean(losses), rtol=2e-4)

@@ -125,21 +125,28 @@ def read_pair_txt(path) -> list[tuple[int, list[int]]]:
 # ---------------------------------------------------------------------------
 
 def read_dmb(path) -> np.ndarray:
+    """The file stores CHANNEL PLANES, each a row-major [h, w] map
+    (fusibile.py:27-39 reshape((w,h,c), order='F') + transpose). Identical
+    to interleaved only for c == 1."""
     with open(path, "rb") as f:
         _type, h, w, c = struct.unpack("<iiii", f.read(16))
         data = np.frombuffer(f.read(), "<f4")
-    return data.reshape(h, w, c) if c > 1 else data.reshape(h, w)
+    if c > 1:
+        return data.reshape(c, h, w).transpose(1, 2, 0)
+    return data.reshape(h, w)
 
 
 def write_dmb(path, arr: np.ndarray):
     arr = np.asarray(arr, np.float32)
     if arr.ndim == 2:
         h, w, c = arr.shape[0], arr.shape[1], 1
+        flat = arr
     else:
         h, w, c = arr.shape
+        flat = arr.transpose(2, 0, 1)  # channel-planar (fusibile.py:41-63)
     with open(path, "wb") as f:
         f.write(struct.pack("<iiii", 1, h, w, c))
-        arr.astype("<f4").tofile(f)
+        np.ascontiguousarray(flat, "<f4").tofile(f)
 
 
 # ---------------------------------------------------------------------------
@@ -157,8 +164,11 @@ def read_colmap_array(path) -> np.ndarray:
                 amps += 1
         w, h, c = (int(x) for x in header.decode().split("&")[:3])
         data = np.frombuffer(f.read(), "<f4")
-    arr = data.reshape(h, w, c) if c > 1 else data.reshape(h, w)
-    return arr
+    # channel-planar like the dmb codec (colmap_utils.py:233-248
+    # reshape((w,h,c), order='F') + transpose; COLMAP src/mvs/mat.h)
+    if c > 1:
+        return data.reshape(c, h, w).transpose(1, 2, 0)
+    return data.reshape(h, w)
 
 
 def write_colmap_array(path, arr: np.ndarray):
@@ -168,4 +178,4 @@ def write_colmap_array(path, arr: np.ndarray):
     h, w, c = arr.shape
     with open(path, "wb") as f:
         f.write(f"{w}&{h}&{c}&".encode())
-        arr.astype("<f4").tofile(f)
+        np.ascontiguousarray(arr.transpose(2, 0, 1), "<f4").tofile(f)

@@ -203,17 +203,27 @@ def _read_cameras_txt(path):
 
 
 def _read_images_txt(path):
+    """Blank/comment lines are skipped only BEFORE a header; the points
+    line is read unconditionally right after it — an image with zero 2D
+    points has an EMPTY points line (our own writer emits one), and the
+    reference reads it the same way
+    (read_write_model_colmap.py:205-226)."""
     images = {}
-    lines = [l.strip() for l in Path(path).read_text().splitlines()
-             if l.strip() and not l.strip().startswith("#")]
-    for i in range(0, len(lines), 2):
-        tok = lines[i].split()
+    raw = Path(path).read_text().splitlines()
+    i = 0
+    while i < len(raw):
+        line = raw[i].strip()
+        i += 1
+        if not line or line.startswith("#"):
+            continue
+        tok = line.split()
         iid = int(tok[0])
         q = np.array([float(x) for x in tok[1:5]])
         t = np.array([float(x) for x in tok[5:8]])
         cam_id = int(tok[8])
         name = tok[9]
-        pts = lines[i + 1].split() if i + 1 < len(lines) else []
+        pts = raw[i].split() if i < len(raw) else []
+        i += 1
         m = len(pts) // 3
         xys = np.array([[float(pts[3 * j]), float(pts[3 * j + 1])]
                         for j in range(m)]).reshape(m, 2)

@@ -25,10 +25,13 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-try:  # jax >= 0.8 moved shard_map out of experimental
+try:  # jax >= 0.8 moved shard_map out of experimental...
     from jax import shard_map
+    _CHECK_KW = {"check_vma": False}
 except ImportError:  # pragma: no cover
+    # ...and renamed the replication-check kwarg (check_rep before)
     from jax.experimental.shard_map import shard_map
+    _CHECK_KW = {"check_rep": False}
 
 from ..losses.supervised import resize_bilinear
 from ..train.config import TrainConfig
@@ -108,8 +111,11 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
             total = total + jax.lax.switch(
                 vidx, [make_loss(v * per_shard + k) for v in range(vshards)],
                 None)
-        # average over all N reference views (DDP grad averaging)
-        return jax.lax.pmean(total / per_shard, "view")
+        # average over all N reference views AND over data shards — DDP
+        # averages gradients across every rank, and the mean also makes the
+        # returned loss genuinely replicated (each data shard's local-batch
+        # mean alone is not)
+        return jax.lax.pmean(total / per_shard, ("data", "view"))
 
     @functools.partial(jax.jit,
                        in_shardings=(NamedSharding(mesh, P()),
@@ -123,7 +129,7 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
                 mesh=mesh,
                 in_specs=(P("data"),),
                 out_specs=P(),
-                check_vma=False)
+                **_CHECK_KW)
             return f(batch)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -53,7 +53,8 @@ def classic_depthmap(imgs: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
     """ZNCC plane-sweep depthmap for reference view 0.
 
     Args:
-      imgs: [B, N, H, W, 3] in [0, 1] (view 0 = reference).
+      imgs: [B, N, H, W, 3] in [0, 1] (view 0 = reference) — or a per-view
+        list/tuple with heterogeneous sizes (in-the-wild scenes).
       K, R: [B, N, 3, 3]; t: [B, N, 3, 1]; depth_min/max: [B, N].
       num_depth: hypothesis count (192 — the reference's patch-match runs on
         the same scene depth range).
@@ -62,29 +63,34 @@ def classic_depthmap(imgs: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
     Returns:
       depth [B, H/d, W/d], photometric confidence [B, H/d, W/d] in [0, 1].
     """
-    b, n, h, w, _ = imgs.shape
-    gray = imgs.mean(axis=-1, keepdims=True)  # [B, N, H, W, 1]
+    from ..models.api import view_list
+    views, _ = view_list(imgs)
+    n = len(views)
+    b = views[0].shape[0]
+    grays = []
+    for v in views:
+        g = v.mean(axis=-1, keepdims=True)  # [B, Hi, Wi, 1]
+        if downscale > 1:
+            vh, vw = g.shape[1:3]
+            g = jax.image.resize(
+                g, (b, vh // downscale, vw // downscale, 1), "bilinear")
+        grays.append(g)
     if downscale > 1:
-        gray = jax.image.resize(
-            gray, (b, n, h // downscale, w // downscale, 1), "bilinear")
         K = scale_K(K, 1.0 / downscale)
-        h, w = h // downscale, w // downscale
+    h, w = grays[0].shape[1:3]
     proj = build_proj_matrices(K, R, t)  # [B, N, 4, 4]
     dvals = (depth_min[:, 0, None]
              + (depth_max[:, 0, None] - depth_min[:, 0, None])
              * jnp.arange(num_depth)[None, :] / (num_depth - 1))  # [B, D]
 
-    ref = gray[:, 0, ..., 0]                       # [B, H, W]
-    ref_mean = _box_filter(gray[:, 0], window)[..., 0]
-    ref_pow = _box_filter(gray[:, 0] ** 2, window)[..., 0]
-    ref_var = jnp.maximum(ref_pow - ref_mean ** 2, 0.0)
+    ref = grays[0][..., 0]                         # [B, H, W]
 
     eps = 1e-6
     score_sum = jnp.zeros((b, num_depth, h, w))
     weight_sum = jnp.zeros((b, num_depth, h, w))
     for v in range(1, n):
         # warp gray + a validity plane in one pass (border-zero semantics)
-        src = jnp.concatenate([gray[:, v], jnp.ones_like(gray[:, v])], -1)
+        src = jnp.concatenate([grays[v], jnp.ones_like(grays[v])], -1)
         warped = plane_sweep_warp(src, proj[:, v], proj[:, 0], dvals,
                                   ref_hw=(h, w))          # [B, D, H, W, 2]
         s = warped[..., 0].reshape(b * num_depth, h, w, 1)
@@ -118,8 +124,12 @@ def classic_depthmap(imgs: jnp.ndarray, K: jnp.ndarray, R: jnp.ndarray,
     y1 = gather(score, d_idx)
     y2 = gather(score, d_idx + 1)
     denom = y0 - 2.0 * y1 + y2
+    # the |denom| > eps guard already excludes the singular case; adding eps
+    # to a NEGATIVE denom (score peaks have denom < 0) would shrink its
+    # magnitude and inflate the offset
+    safe_denom = jnp.where(jnp.abs(denom) > eps, denom, 1.0)
     offset = jnp.where(jnp.abs(denom) > eps,
-                       0.5 * (y0 - y2) / (denom + eps), 0.0)
+                       0.5 * (y0 - y2) / safe_denom, 0.0)
     offset = jnp.clip(offset, -1.0, 1.0)
     step = (depth_max[:, 0] - depth_min[:, 0]) / (num_depth - 1)
     depth = (depth_min[:, 0, None, None]
@@ -149,8 +159,13 @@ def run_classic_depthmaps(dataset, depth_dir, num_depth: int = 192,
         f = depth_dir / f"{name}_out.npz"
         if f.exists() and not override:
             continue
+        imgs = s["imgs"]
+        if isinstance(imgs, list):  # heterogeneous view sizes
+            imgs = tuple(jnp.asarray(v)[None] for v in imgs)
+        else:
+            imgs = jnp.asarray(imgs)[None]
         depth, conf = classic_depthmap(
-            jnp.asarray(s["imgs"][None]), jnp.asarray(s["K"][None]),
+            imgs, jnp.asarray(s["K"][None]),
             jnp.asarray(s["R"][None]), jnp.asarray(s["t"][None]),
             jnp.asarray(s["depth_min"][None]),
             jnp.asarray(s["depth_max"][None]),

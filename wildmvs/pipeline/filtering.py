@@ -37,13 +37,16 @@ def geometric_filter(ref_depth: jnp.ndarray, src_depths: jnp.ndarray,
 
     Args:
       ref_depth: [H, W] reference depthmap.
-      src_depths: [N-1, h, w] source depthmaps (same size as ref here).
+      src_depths: [N-1, h, w] source depthmaps — or a per-view list/tuple
+        with heterogeneous sizes (in-the-wild scenes).
       K, R, t: [N, 3, 3]/[N, 3, 3]/[N, 3, 1], view 0 = reference.
     Returns:
       dict(mask_depth, mask_disp, geo_mask) of [H, W] bools.
     """
     h, w = ref_depth.shape
-    n_src = src_depths.shape[0]
+    srcs = (list(src_depths) if isinstance(src_depths, (list, tuple))
+            else [src_depths[i] for i in range(src_depths.shape[0])])
+    n_src = len(srcs)
     grid = pixel_grid(h, w, ref_depth.dtype)  # [H, W, 2]
 
     pc = unproject(grid, K[0], R[0], t[0], ref_depth)  # [H, W, 3] world
@@ -53,12 +56,12 @@ def geometric_filter(ref_depth: jnp.ndarray, src_depths: jnp.ndarray,
         pix = cam @ K[i + 1].T
         depth_in_src = pix[..., 2]
         proj = pix[..., :2] / jnp.maximum(depth_in_src, 1e-6)[..., None]
-        sh, sw = src_depths.shape[1:]
+        sh, sw = srcs[i].shape
         # normalize with the (w-1) convention, sample align_corners=False —
         # the reference's exact combination (filtering.py:66-69)
         gx = 2.0 * proj[..., 0] / (sw - 1.0) - 1.0
         gy = 2.0 * proj[..., 1] / (sh - 1.0) - 1.0
-        sampled = grid_sample(src_depths[i][..., None],
+        sampled = grid_sample(srcs[i][..., None],
                               jnp.stack([gx, gy], -1),
                               align_corners=False)[..., 0]
         # reproject: unproject the sampled source depth at the projected

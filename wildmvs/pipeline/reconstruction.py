@@ -41,8 +41,13 @@ def load_network(model_dir: str | None, architecture: str | None,
     cfg = eval_model_kwargs(architecture)
     kwargs = dict(cfg["kwargs"])
     model = build_model(architecture, **kwargs)
-    args = tuple(jnp.asarray(sample[k])[None] for k in
-                 ("imgs", "K", "R", "t", "depth_min", "depth_max"))
+    imgs = sample["imgs"]
+    if isinstance(imgs, list):  # heterogeneous view sizes
+        imgs = tuple(jnp.asarray(v)[None] for v in imgs)
+    else:
+        imgs = jnp.asarray(imgs)[None]
+    args = (imgs,) + tuple(jnp.asarray(sample[k])[None] for k in
+                           ("K", "R", "t", "depth_min", "depth_max"))
     cvp_nscale = None
     if architecture == "cvp_mvsnet":
         cvp_nscale = 5 if dataset_name == "dtu" else 4
@@ -146,6 +151,14 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
         old_nviews = getattr(dataset, "nviews", None)
         if filter_num_views is not None and old_nviews is not None:
             dataset.nviews = min(filter_num_views, len(dataset))
+            if getattr(dataset, "src_imgs", None) is not None:
+                # YFCC-style datasets precompute their source selection in
+                # __init__ and ignore later nviews writes — the reference's
+                # override is the same silent no-op there
+                # (reconstruction_pipeline.py:36 + yfcc_scene.py:48,:73);
+                # keep result parity but be loud about it
+                print("note: --filter_num_views has no effect on datasets "
+                      "with precomputed source selection (reference parity)")
         for i in range(n):
             sample = dataset[i]
             npz = np.load(depth_dir / f"{names[i]}_out.npz")
@@ -166,22 +179,31 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                 sample_K, sample_R, sample_t = (sample_K[rows],
                                                 sample_R[rows],
                                                 sample_t[rows])
-            src_depths = np.stack([
-                np.load(depth_dir / f"{s}_out.npz")["depthmap"]
-                for s in src_names])
+            if not debug:
+                rows = list(range(len(src_names) + 1))
+            src_depths = [np.load(depth_dir / f"{s}_out.npz")["depthmap"]
+                          for s in src_names]
+            # per-view image heights: sample["imgs"] may be a ragged list
+            # (heterogeneous in-the-wild view sizes) — [v] indexes both forms
+            img_h = [sample["imgs"][v].shape[0] for v in rows]
             if upsample:
                 # filter at full image resolution (parity filtering.py:51-57)
-                factor = sample["imgs"].shape[1] // ref_depth.shape[0]
+                # with each view upsampled by its OWN factor
+                factor = img_h[0] // ref_depth.shape[0]
                 if factor > 1:
                     ref_depth = _upsample_nearest(ref_depth, factor)
-                    src_depths = np.stack([_upsample_nearest(d, factor)
-                                           for d in src_depths])
-            # camera scaled to the depthmap resolution
-            scale = ref_depth.shape[0] / sample["imgs"].shape[1]
+                src_depths = [
+                    _upsample_nearest(d, img_h[k + 1] // d.shape[0])
+                    if img_h[k + 1] // d.shape[0] > 1 else d
+                    for k, d in enumerate(src_depths)]
+            # each view's camera scaled to its own depthmap resolution
             K = sample_K.copy()
-            K[:, :2] *= scale
+            K[0, :2] *= ref_depth.shape[0] / img_h[0]
+            for k, d in enumerate(src_depths):
+                K[k + 1, :2] *= d.shape[0] / img_h[k + 1]
             masks = geometric_filter(
-                jnp.asarray(ref_depth), jnp.asarray(src_depths),
+                jnp.asarray(ref_depth),
+                [jnp.asarray(d) for d in src_depths],
                 jnp.asarray(K), jnp.asarray(sample_R),
                 jnp.asarray(sample_t),
                 max_reproj_error=max_reproj_error,
@@ -213,7 +235,7 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             prob = npz["probability"]
             if upsample:
                 # fuse at full resolution (parity colmap_utils.py:363)
-                factor = sample["imgs"].shape[1] // depth.shape[0]
+                factor = sample["imgs"][0].shape[0] // depth.shape[0]
                 if factor > 1:
                     depth = _upsample_nearest(depth, factor)
                     prob = (np.stack([_upsample_nearest(p, factor)
@@ -228,7 +250,7 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             invalid = get_mask_invalid(prob, prob_threshold, geo)
             depth[invalid] = 0.0  # parity fusibile.py:152-158
             depths.append(depth)
-            scale = depth.shape[0] / sample["imgs"].shape[1]
+            scale = depth.shape[0] / sample["imgs"][0].shape[0]
             K = sample["K"][0].copy()
             K[:2] *= scale
             Ks.append(K)
@@ -239,9 +261,12 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
             iw = depth.shape[1]
             step = max(img.shape[0] // ih, 1)
             colors.append(img[::step, ::step][:ih, :iw])
+        # per-view depth sizes may differ (in-the-wild scenes):
+        # fuse_depthmaps stacks uniform lists and runs the ragged path
+        # otherwise
         points, cols = fuse_depthmaps(
-            np.stack(depths), np.stack(Ks), np.stack(Rs), np.stack(ts),
-            colors=np.stack(colors),
+            depths, np.stack(Ks), np.stack(Rs), np.stack(ts),
+            colors=colors,
             disp_threshold=fusion_disp_threshold,
             num_consistent=fusion_num_consistent,
             max_reproj_error=fusion_max_reproj_error)
