@@ -190,3 +190,27 @@ def test_ragged_view_sizes(rng, arch):
     assert d.shape == np.asarray(out_a["depth"]).shape  # ref grid unchanged
     assert np.isfinite(d).all()
     assert (d >= 2.0 - 1e-3).all() and (d <= 6.0 + 1e-3).all()
+
+
+def test_masked_median_matches_sort():
+    """The bit-bisection order statistic used by cal_depth_hypo's median
+    (ops/select.py) must equal sorted(x[valid])[(nvalid-1)//2] exactly —
+    incl. duplicates, zeros, +inf, and partial masks."""
+    from wildmvs.ops.select import masked_kth_smallest, masked_median
+    rng = np.random.default_rng(7)
+    for n in [1, 5, 1000, 4096]:
+        x = rng.gamma(0.7, 10.0, size=n).astype(np.float32)
+        x[rng.random(n) < 0.05] = np.inf
+        x[rng.random(n) < 0.1] = 0.0          # duplicates at zero
+        x[rng.random(n) < 0.2] = x[0]         # duplicated values
+        valid = rng.random(n) < 0.8
+        valid[0] = True                        # keep nvalid >= 1
+        sel = np.sort(x[valid])
+        got = float(masked_median(jnp.asarray(x), jnp.asarray(valid)))
+        want = float(sel[(len(sel) - 1) // 2])
+        assert got == want or (np.isinf(got) and np.isinf(want)), (n, got, want)
+        for k in [0, len(sel) - 1, len(sel) // 3]:
+            gk = float(masked_kth_smallest(jnp.asarray(x), jnp.asarray(valid),
+                                           jnp.int32(k)))
+            assert gk == float(sel[k]) or (
+                np.isinf(gk) and np.isinf(sel[k])), (n, k, gk, sel[k])

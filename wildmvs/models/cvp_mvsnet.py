@@ -30,6 +30,7 @@ from flax import linen as nn
 from ..geometry.projective import scale_K
 from ..nn.blocks import ConvBnReLU, ConvTransposeBnReLU, TorchConv
 from ..ops.plane_sweep import plane_sweep_warp
+from ..ops.select import masked_median
 from ..ops.volumes import depth_regression, photometric_confidence
 from .api import register_model, view_list
 
@@ -150,15 +151,14 @@ def cal_depth_hypo(ref_depth, K_ref, K_src, R_ref, t_ref, R_src, t_src,
         delta_d = (M2[..., 0] * M1[..., 1, 1] - M1[..., 0, 1] * M2[..., 1]) \
             / safe_det
         abs_dd = jnp.abs(delta_d)
-        # median over valid pixels (invalids pushed to +inf, median index
-        # adjusted by the invalid count)
-        flat = jnp.where(valid, abs_dd, jnp.inf).reshape(-1)
-        order = jnp.sort(flat)
+        # median over valid pixels (torch.median rank (nvalid-1)//2,
+        # modules.py:216) — exact order statistic via bit-pattern bisection
+        # (ops/select.py) instead of an O(n log^2 n) TPU sort
         nvalid = jnp.sum(valid)
         med = jnp.where(
             nvalid > 0,
-            order[jnp.clip((nvalid - 1) // 2, 0, flat.size - 1)],
-            (dmax - dmin) / 128.0)
+            masked_median(abs_dd, valid),
+            (dmax - dmin) / 128.0).astype(depth_b.dtype)
         levels = jnp.arange(-d, d, dtype=depth_b.dtype).reshape(2 * d, 1, 1)
         return depth_b[None] + levels * med
 
