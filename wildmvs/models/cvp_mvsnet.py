@@ -255,6 +255,9 @@ class CVPMVSNet(nn.Module):
         from ..ops.volumes import variance_cost_volume
         cost = variance_cost_volume(fcoarse[0], warp_fns=warp_fns,
                                     num_depth=nhyp)
+        # keep the 3D-reg convs' D-in-lanes layout from propagating into the
+        # warp gather (same measured win as mvsnet.py:204)
+        cost = jax.lax.optimization_barrier(cost)
         prob = nn.softmax(reg_net(cost, train), axis=1)
         depth = depth_regression(prob, depth_hypos)
         depth_est_list = [depth]
@@ -282,6 +285,7 @@ class CVPMVSNet(nn.Module):
             ]
             cost = variance_cost_volume(flevel[0], warp_fns=warp_fns,
                                         num_depth=hyp.shape[1])
+            cost = jax.lax.optimization_barrier(cost)
             prob = nn.softmax(reg_net(cost, train), axis=1)
             depth = depth_regression(prob, hyp)
             depth_est_list.append(depth)
