@@ -1,14 +1,23 @@
 """Headline benchmark: depthmap inference throughput, single chip.
 
-Measures the flagship forward (MVSNet, N=3 views, 512x640, 192 depth
+Primary metric: the flagship forward (MVSNet, N=3 views, 512x640, 192 depth
 hypotheses — the reference's DTU training configuration,
-data/dtu_yao.py:41-42 + models/MVSNet/model.py:98) and prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": "depthmaps/s", "vs_baseline": ...}
+data/dtu_yao.py:41-42 + models/MVSNet/model.py:98).  The same JSON line also
+carries the other two architecture families at their eval configurations
+(vis_mvsnet: depth_nums [64,32,16] x interval_scales [2,1,0.5] at the
+pipeline's input downscale 2, evaluation/pipeline_utils.py:133-154;
+cvp_mvsnet: nscale=5 pyramid, 96 coarse hypotheses, epipolar per-pixel
+intervals, models/CVP_MVSNet/models/net.py:127) so the per-round record
+tracks the whole model zoo, and prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "depthmaps/s", "vs_baseline": ...,
+   "vis_mvsnet_maps_s": ..., "cvp_mvsnet_maps_s": ...}
 
-vs_baseline normalizes by an estimated reference throughput of 4.0
-depthmaps/s for the torch implementation on one A100 (no published number
-exists — BASELINE.md; this constant is revised if a measured torch number
-becomes available).
+vs_baseline normalizes by the reference torch implementation's estimated
+A100 throughput for the identical config.  Derivation (BASELINE.md
+"Baseline anchor"): measured torch-CPU reference throughput on this host
+(0.376 maps/s, tools/bench_torch_ref.py) x our own measured CPU->TPU
+scaling (22.4x) as a charitable proxy for torch's CPU->A100 scaling.
+Revised whenever a direct GPU measurement becomes available.
 """
 import json
 import os
@@ -16,21 +25,21 @@ import time
 
 import numpy as np
 
-BASELINE_DEPTHMAPS_PER_S = 4.0
+BASELINE_DEPTHMAPS_PER_S = 8.4
 
 # experiment hook: sweep backend override (see wildmvs/models/mvsnet.py)
 SWEEP_METHOD = os.environ.get("WILDMVS_BENCH_METHOD", "auto")
 
+# set WILDMVS_BENCH_EXTRAS=0 to skip the vis/cvp measurements (faster runs
+# while iterating on the headline kernel)
+EXTRAS = os.environ.get("WILDMVS_BENCH_EXTRAS", "1") != "0"
 
-def main():
-    import jax
+
+def scene(b, n, h, w, f):
     import jax.numpy as jnp
-    from wildmvs.models import build_model
-
-    b, n, h, w, d = 1, 3, 512, 640, 192
     rng = np.random.default_rng(0)
     imgs = jnp.array(rng.random((b, n, h, w, 3)).astype(np.float32))
-    K = np.array([[720.0, 0, w / 2], [0, 720.0, h / 2], [0, 0, 1]], np.float32)
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
     K = jnp.array(np.tile(K, (b, n, 1, 1)))
     R = jnp.array(np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1)))
     t = np.zeros((b, n, 3, 1), np.float32)
@@ -39,40 +48,73 @@ def main():
     t = jnp.array(t)
     dmin = jnp.full((b, n), 425.0)
     dmax = jnp.full((b, n), 935.0)
+    return imgs, K, R, t, dmin, dmax
 
-    # bf16 compute (f32 params/accumulation) is the deployment configuration
-    model = build_model("mvsnet", num_depth=d, dtype=jnp.bfloat16,
-                        sweep_method=SWEEP_METHOD)
-    variables = model.init(jax.random.PRNGKey(0), imgs, K, R, t, dmin, dmax,
-                           train=False)
 
-    # NOTE: on the tunneled axon backend, block_until_ready does not actually
-    # synchronize; the only reliable fence is a host fetch. We therefore chain
-    # `iters` forwards in ONE device program (scan over input perturbations,
-    # which also defeats CSE) and fetch a scalar at the end.
-    iters = 10
+def time_model(model, args, kwargs, iters, repeats=3):
+    """Best-of-repeats seconds per forward.
+
+    NOTE: on the tunneled axon backend, block_until_ready does not actually
+    synchronize; the only reliable fence is a host fetch. We therefore chain
+    `iters` forwards in ONE device program (scan over input perturbations,
+    which also defeats CSE) and fetch a scalar at the end.
+    """
+    import jax
+    import jax.numpy as jnp
+    imgs = args[0]
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False,
+                           **kwargs)
 
     @jax.jit
-    def forward_chain(v, imgs, K, R, t, dmin, dmax):
+    def forward_chain(v, imgs):
         def body(carry, eps):
-            out = model.apply(v, imgs + eps, K, R, t, dmin, dmax,
-                              train=False)["depth"]
-            return carry + out.sum(), None
+            out = model.apply(v, imgs + eps, *args[1:], train=False,
+                              **kwargs)["depth"]
+            return carry + out.sum().astype(jnp.float32), None
         total, _ = jax.lax.scan(body, jnp.zeros(()),
                                 jnp.arange(iters, dtype=imgs.dtype) * 1e-6)
         return total
 
-    float(forward_chain(variables, imgs, K, R, t, dmin, dmax))  # compile+warm
-    t0 = time.perf_counter()
-    float(forward_chain(variables, imgs, K, R, t, dmin, dmax))
-    dt = (time.perf_counter() - t0) / iters
-    value = b / dt
-    print(json.dumps({
+    float(forward_chain(variables, imgs))  # compile+warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(forward_chain(variables, imgs))
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
+
+
+def main():
+    import jax.numpy as jnp
+    from wildmvs.models import build_model
+
+    # ---- headline: MVSNet 512x640 D192 N3, bf16 compute ----
+    args = scene(1, 3, 512, 640, 720.0)
+    model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
+                        sweep_method=SWEEP_METHOD)
+    dt = time_model(model, args, {}, iters=10)
+    value = 1.0 / dt
+
+    record = {
         "metric": "mvsnet_depthmap_inference_512x640_D192_N3",
         "value": round(value, 3),
         "unit": "depthmaps/s",
         "vs_baseline": round(value / BASELINE_DEPTHMAPS_PER_S, 3),
-    }))
+    }
+
+    if EXTRAS:
+        vis = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
+                          interval_scales=(2.0, 1.0, 0.5),
+                          dtype=jnp.bfloat16)
+        # 256x320 = the pipeline's downscale-2 of 512x640
+        dt = time_model(vis, scene(1, 3, 256, 320, 360.0), {}, iters=6)
+        record["vis_mvsnet_maps_s"] = round(1.0 / dt, 3)
+
+        cvp = build_model("cvp_mvsnet", dtype=jnp.bfloat16)
+        dt = time_model(cvp, args, {"nscale": 5}, iters=6)
+        record["cvp_mvsnet_maps_s"] = round(1.0 / dt, 3)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

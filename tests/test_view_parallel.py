@@ -53,6 +53,17 @@ def test_view_parallel_matches_single_program():
     new_leaves = jax.tree_util.tree_leaves(new_state.params)
     for a, b in zip(new_leaves, ref_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # BN batch stats after the step must match the single-program step's
+    # (which keeps r=0's, the reference's rank-0 DDP buffers) — before the
+    # fix the sharded step silently dropped the update entirely
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(ref_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    # and they must actually have moved from initialization
+    moved = [float(np.abs(np.asarray(a) - np.asarray(b)).max())
+             for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                             jax.tree_util.tree_leaves(state.batch_stats))]
+    assert max(moved) > 0.0
 
 
 def test_hyp_slab_sharding_matches_unsharded():
@@ -125,6 +136,11 @@ def test_view_parallel_data_sharding_averages_gradients():
     for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                     jax.tree_util.tree_leaves(ref_state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+    # identical samples on both data shards -> each shard's local BN stats
+    # equal the full-batch ones, so the pmean'd stats must match exactly
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                    jax.tree_util.tree_leaves(ref_state.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
     # sharper averaging check with two DISTINCT samples: each data shard
     # holds exactly one, and its local BN equals a b=1 single-program run,

@@ -28,18 +28,25 @@ def main():
     import collections, re
     by_kind = collections.Counter()
     biggest = []
+    # scope tracking by brace depth (not line-prefix heuristics): only ops
+    # at depth 1 inside a non-fused top-level computation are counted, so a
+    # header line the old regex missed can no longer leave stale scope
     in_scope = False
+    depth = 0
     for line in txt.splitlines():
-        m = re.match(r"(ENTRY )?%?([\w.-]+)[\w\s.()\[\]{},:/-]* {$", line)
-        if m and not line.startswith(" "):
-            name = m.group(2)
+        if depth == 0 and line.rstrip().endswith("{"):
+            m = re.match(r"(ENTRY )?%?([\w.$-]+)", line.strip())
+            name = m.group(2) if m else ""
             in_scope = not (name.startswith("fused_computation")
                             or name.startswith("region") or ".clone" in name)
+            depth = 1
             continue
-        if line.startswith("}"):
+        depth += line.count("{") - line.count("}")
+        if depth <= 0:
             in_scope = False
+            depth = 0
             continue
-        if not in_scope:
+        if not in_scope or depth != 1:
             continue
         m = re.match(r"\s+%?([\w.-]+) = (\S+) (\w+)\(", line)
         if not m:

@@ -50,9 +50,48 @@ def make_mesh(data: int = 0, view: int = 1, hyp: int = 1,
     return Mesh(arr, axis_names=("data", "view", "hyp"))
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch with its leading (batch) dim split over `data`."""
+def process_local_order(order, global_batch_size: int,
+                        num_processes: Optional[int] = None,
+                        process_id: Optional[int] = None):
+    """Per-host slice of the epoch's shared permutation.
+
+    Every host derives the same permutation (same seed), so each global
+    batch is a row of order.reshape(-1, B); host p loads columns
+    [p*B/P, (p+1)*B/P) of every row — its local shard of each global batch.
+    Tail samples are wrap-padded so all hosts hold equal counts (parity:
+    DistributedSampler's pad-to-even behavior behind train.py:112-116).
+
+    Returns (local_order, local_batch_size). Identity when P == 1.
+    """
+    procs = jax.process_count() if num_processes is None else num_processes
+    pid = jax.process_index() if process_id is None else process_id
+    order = np.asarray(order)
+    if procs == 1:
+        return order, global_batch_size
+    B = global_batch_size
+    assert B % procs == 0, (B, procs)
+    if len(order) % B:
+        pad = B - len(order) % B
+        order = np.concatenate([order, order[:pad]])
+    per = B // procs
+    rows = order.reshape(-1, B)[:, pid * per:(pid + 1) * per]
+    return rows.reshape(-1), per
+
+
+def shard_batch(batch: dict, mesh: Mesh, from_local: Optional[bool] = None
+                ) -> dict:
+    """Place a host batch with its leading (batch) dim split over `data`.
+
+    Multi-host (or from_local=True): the input leaves are each process's
+    LOCAL shard of the global batch (rows process_local_order assigned to
+    it) and are assembled into global arrays across hosts.
+    """
     sharding = NamedSharding(mesh, P("data"))
+    if from_local is None:
+        from_local = jax.process_count() > 1
+    if from_local:
+        return {k: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(v)) for k, v in batch.items()}
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
 
 

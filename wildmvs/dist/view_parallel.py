@@ -64,14 +64,11 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
         # structural (it selects views), so each possibility is a static
         # branch and the dynamic shard index picks via lax.switch.
         # Shard v owns reference views {v * per_shard + k : k}.
-        # NOTE: BN batch-stat updates are discarded in this mode (the
-        # reference's DDP broadcasts rank 0's buffers anyway; a follow-up can
-        # psum-select shard 0's stats)
         def make_fwd(r):
             def fwd(variables, *args):
-                out, _ = model.apply(variables, *args, reference_frame=r,
-                                     train=True, mutable=["batch_stats"])
-                return out
+                out, mut = model.apply(variables, *args, reference_frame=r,
+                                       train=True, mutable=["batch_stats"])
+                return out, mut["batch_stats"]
             if config.remat:
                 # honor --remat here too: this multi-forward mode is exactly
                 # where cost-volume activations are heaviest
@@ -81,11 +78,26 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
                 return fwd(variables, *args)
             return branch
 
-        outs = []
+        outs, stats0 = [], None
         for k in range(per_shard):
-            outs.append(jax.lax.switch(
+            out_k, stats_k = jax.lax.switch(
                 vidx, [make_fwd(v * per_shard + k) for v in range(vshards)],
-                None))
+                None)
+            outs.append(out_k)
+            if k == 0:
+                stats0 = stats_k
+        # keep reference view 0's BN batch stats — the reference's DDP keeps
+        # every rank's buffers updating and the checkpoint saves rank 0's
+        # (train.py:136,202-210); the single-program step keeps r=0's the
+        # same way. r=0 lives on view shard 0 (k=0), so psum-select it
+        # across `view`; across `data` the stats are per-local-batch means,
+        # pmean'd into the full-batch average (each shard normalized over
+        # its own sub-batch, like per-replica BN).
+        is_shard0 = (vidx == 0).astype(jnp.float32)
+        new_stats = jax.tree.map(
+            lambda s: jax.lax.pmean(
+                jax.lax.psum(s * is_shard0.astype(s.dtype), "view"), "data"),
+            jax.lax.stop_gradient(stats0))
         # exchange depthmaps across the view axis (ICI all_gather), one
         # gather PER SCALE — the reference all-gathers the current scale's
         # depth inside the per-scale loss loop (models/trainer.py:246-247);
@@ -115,7 +127,7 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
         # averages gradients across every rank, and the mean also makes the
         # returned loss genuinely replicated (each data shard's local-batch
         # mean alone is not)
-        return jax.lax.pmean(total / per_shard, ("data", "view"))
+        return jax.lax.pmean(total / per_shard, ("data", "view")), new_stats
 
     @functools.partial(jax.jit,
                        in_shardings=(NamedSharding(mesh, P()),
@@ -128,13 +140,13 @@ def make_view_parallel_train_step(mesh: Mesh, config: TrainConfig):
                 functools.partial(shard_loss, params, state.batch_stats),
                 mesh=mesh,
                 in_specs=(P("data"),),
-                out_specs=P(),
+                out_specs=(P(), P()),
                 **_CHECK_KW)
             return f(batch)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        new_state = state.apply_gradients(grads=grads,
-                                          batch_stats=state.batch_stats)
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
         return new_state, {"train_loss": loss}
 
     return step

@@ -26,7 +26,12 @@ def masked_kth_smallest(values: jnp.ndarray, valid: jnp.ndarray,
     (the return value is unspecified there — guard it with jnp.where).
     """
     flat = values.reshape(-1).astype(jnp.float32)
-    bits = jnp.where(valid.reshape(-1), flat.view(jnp.int32), _SENTINEL)
+    # NaNs are mapped to the invalid sentinel explicitly: the sentinel
+    # 0x7FFFFFFF is itself a NaN bit pattern, so without this a NaN payload
+    # could collide with it (and any NaN would otherwise land at an
+    # arbitrary rank among the large values)
+    ok = valid.reshape(-1) & ~jnp.isnan(flat)
+    bits = jnp.where(ok, flat.view(jnp.int32), _SENTINEL)
     k = k.astype(jnp.int32)
 
     def body(_, state):
@@ -49,5 +54,6 @@ def masked_median(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     element at rank (nvalid-1)//2 — reference modules.py:216). Non-negative
     float32 inputs; unspecified when nothing is valid (guard at call site).
     """
-    nvalid = jnp.sum(valid.reshape(-1).astype(jnp.int32))
+    ok = valid.reshape(-1) & ~jnp.isnan(values.reshape(-1))
+    nvalid = jnp.sum(ok.astype(jnp.int32))
     return masked_kth_smallest(values, valid, (nvalid - 1) // 2)

@@ -51,8 +51,17 @@ def batches(dataset, batch_size, order, num_workers: int = 0):
 def make_mesh_step(config: TrainConfig, world_size: int):
     """Multi-device train step. With occ_masking the `view` mesh axis carries
     reference views (parity: 1 rank = 1 ref view, train.py:311-312); otherwise
-    the batch shards over `data` (parity: DistributedSampler + DDP)."""
+    the batch shards over `data` (parity: DistributedSampler + DDP).
+
+    Multi-host: the mesh must span every process's devices, so world_size
+    must equal jax.device_count(); each process feeds its local shard of the
+    global batch (dist.mesh.process_local_order) and shard_batch assembles
+    the global arrays across hosts."""
     from ..dist.mesh import make_mesh, replicate, shard_batch
+    if jax.process_count() > 1:
+        assert world_size == jax.device_count(), (
+            "multi-host training requires --world_size == total device count "
+            f"({jax.device_count()}), got {world_size}")
     devices = jax.devices()[:world_size]
     if config.occ_masking and not config.supervised:
         assert config.num_im_train % world_size == 0, (
@@ -60,7 +69,14 @@ def make_mesh_step(config: TrainConfig, world_size: int):
             f"(got {config.num_im_train} vs {world_size}); parity train.py:311")
         mesh = make_mesh(data=1, view=world_size, devices=devices)
         from ..dist.view_parallel import make_view_parallel_train_step
-        step = make_view_parallel_train_step(mesh, config)
+        vstep = make_view_parallel_train_step(mesh, config)
+
+        def step(state, batch):
+            # the batch is REPLICATED over `view` (every host loads the
+            # identical global batch — same-seed order replaces the
+            # SharedRandomSampler broadcast); shard_batch still routes
+            # through the multi-host assembly when process_count > 1
+            return vstep(state, shard_batch(batch, mesh))
     else:
         assert config.batch_size % world_size == 0, (config.batch_size,
                                                      world_size)
@@ -111,7 +127,15 @@ def run(config: TrainConfig, max_epochs: int | None = None,
         mesh_step, place = make_mesh_step(config, world_size)
         state = place(state)
 
-    logger = Logger(logdir)
+    # multi-host: each process loads only its shard of every global batch
+    # (data-sharded modes); occ_masking replicates the batch over `view`
+    # so every host loads it whole. Parity: DistributedSampler's rank
+    # sharding (train.py:112-116) / SharedRandomSampler's identical batch.
+    procs, pid = jax.process_count(), jax.process_index()
+    data_sharded = not (config.occ_masking and not config.supervised)
+    from ..dist.mesh import process_local_order
+
+    logger = Logger(logdir) if pid == 0 else None
     meters = MeterSet()
     history = {"train_loss": [], "val_loss": [], "test": []}
     end_epoch = max_epochs if max_epochs is not None else config.epochs
@@ -122,9 +146,13 @@ def run(config: TrainConfig, max_epochs: int | None = None,
         # permutation on every host)
         order = np.random.default_rng(config.seed * 1000 + epoch).permutation(
             len(train_ds))
+        if procs > 1 and data_sharded:
+            order, local_bs = process_local_order(order, config.batch_size)
+        else:
+            local_bs = config.batch_size
         t0 = time.time()
         ep_losses = []
-        for i, batch in enumerate(batches(train_ds, config.batch_size, order,
+        for i, batch in enumerate(batches(train_ds, local_bs, order,
                                           num_workers=config.num_workers)):
             if mesh_step is not None:
                 state, m = mesh_step(state, batch)
@@ -133,7 +161,7 @@ def run(config: TrainConfig, max_epochs: int | None = None,
             depth_est = m.pop("depth_est", None)
             ep_losses.append(float(m["train_loss"]))
             meters.update(m)
-            if (i + 1) % config.print_every == 0:
+            if (i + 1) % config.print_every == 0 and logger is not None:
                 print(f"  iter {i + 1}: {meters.means()}")
                 # training-image panels (models/trainer.py:78-92 parity)
                 logger.plot_ims({"ref_img": np.asarray(batch["imgs"][0, 0])},
@@ -147,35 +175,60 @@ def run(config: TrainConfig, max_epochs: int | None = None,
             if config.debug:
                 break
         history["train_loss"].append(float(np.mean(ep_losses)))
-        logger.log({"epoch": epoch, **meters.reset(),
-                    "lr": config.lr_at_epoch(epoch),
-                    "seconds": round(time.time() - t0, 2)})
+        if logger is not None:
+            logger.log({"epoch": epoch, **meters.reset(),
+                        "lr": config.lr_at_epoch(epoch),
+                        "seconds": round(time.time() - t0, 2)})
         print(f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f} "
               f"({time.time() - t0:.1f}s)")
 
         if epoch % config.save_freq == 0:
-            save_checkpoint(logdir, epoch, state, config.architecture)
+            if pid == 0:
+                # rank-0 checkpointing (train.py:202-210); fully-replicated
+                # state is fully addressable on every process
+                save_checkpoint(logdir, epoch, state, config.architecture)
+            # val/test shard across processes (i::procs) and the epoch means
+            # cross-reduce — the eval analogue of utils/trainer.py:25-35's
+            # all_reduce / world_size
             v_losses = []
-            for i, batch in enumerate(batches(val_ds, config.batch_size,
-                                              np.arange(len(val_ds)),
-                                              num_workers=config.num_workers)):
+            for i, batch in enumerate(batches(
+                    val_ds, config.batch_size,
+                    np.arange(len(val_ds))[pid::procs],
+                    num_workers=config.num_workers)):
                 v_losses.append(float(T.eval_step(state, batch, config)["val_loss"]))
                 if config.debug:
                     break
-            history["val_loss"].append(float(np.mean(v_losses)))
             t_metrics = []
-            for i, batch in enumerate(batches(test_ds, 1,
-                                              np.arange(len(test_ds)),
-                                              num_workers=config.num_workers)):
+            for i, batch in enumerate(batches(
+                    test_ds, 1, np.arange(len(test_ds))[pid::procs],
+                    num_workers=config.num_workers)):
                 t_metrics.append({k: float(v) for k, v in
                                   T.test_step(state, batch, config).items()})
                 if config.debug:
                     break
-            avg = {k: float(np.mean([m[k] for m in t_metrics]))
-                   for k in t_metrics[0]}
+            if procs > 1:
+                # fixed-shape sum+count exchange (local lengths may differ
+                # when len(dataset) % procs != 0)
+                from jax.experimental import multihost_utils
+                keys = sorted(t_metrics[0]) if t_metrics else []
+                local = np.array(
+                    [np.sum(v_losses), len(v_losses), len(t_metrics)]
+                    + [np.sum([m[k] for m in t_metrics]) for k in keys],
+                    np.float64)
+                g = np.asarray(multihost_utils.process_allgather(local))
+                val_mean = g[:, 0].sum() / max(g[:, 1].sum(), 1.0)
+                n_t = max(g[:, 2].sum(), 1.0)
+                history["val_loss"].append(float(val_mean))
+                avg = {k: float(g[:, 3 + j].sum() / n_t)
+                       for j, k in enumerate(keys)}
+            else:
+                history["val_loss"].append(float(np.mean(v_losses)))
+                avg = {k: float(np.mean([m[k] for m in t_metrics]))
+                       for k in t_metrics[0]}
             history["test"].append(avg)
-            logger.log({"epoch": epoch, "val_loss": history["val_loss"][-1],
-                        **avg})
+            if logger is not None:
+                logger.log({"epoch": epoch,
+                            "val_loss": history["val_loss"][-1], **avg})
             print(f"  val_loss={history['val_loss'][-1]:.4f} test={avg}")
         if config.debug:
             break
@@ -221,6 +274,14 @@ def main(argv=None):
                    help="number of devices: occ_masking shards reference "
                         "views over a `view` mesh axis, otherwise the batch "
                         "shards over `data`")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host: coordinator address host:port "
+                        "(replaces the hardcoded localhost MASTER_ADDR, "
+                        "train.py:53-54)")
+    p.add_argument("--num_processes", type=int, default=1,
+                   help="multi-host: total number of host processes")
+    p.add_argument("--process_id", type=int, default=0,
+                   help="multi-host: this process's index")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward pass "
                         "(jax.checkpoint) to cut activation memory")
@@ -240,6 +301,12 @@ def main(argv=None):
     if a.platform:
         jax.config.update("jax_platforms",
                           "axon" if a.platform == "tpu" else a.platform)
+    if a.num_processes > 1:
+        # DCN rendezvous before any device use (replaces gloo
+        # init_process_group, train.py:52-62)
+        from ..dist.mesh import initialize
+        initialize(coordinator=a.coordinator, num_processes=a.num_processes,
+                   process_id=a.process_id)
     if a.supervised and a.dataset == "dtu" and not a.upsample_training:
         # parity train.py:305-309: DTU GT depth is x4 downsampled
         raise SystemExit("dtu supervised training requires "
