@@ -85,10 +85,26 @@ def time_model(model, args, kwargs, iters, repeats=3):
 
 
 def main():
+    import sys
+    import jax
     import jax.numpy as jnp
     from wildmvs.models import build_model
 
+    # persistent compilation cache: the tunnel's cold compiles dominate the
+    # wall clock (the 3-architecture run exceeds 25 min cold); cached reruns
+    # skip them entirely
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+    def note(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     # ---- headline: MVSNet 512x640 D192 N3, bf16 compute ----
+    note("bench: compiling/timing mvsnet headline ...")
     args = scene(1, 3, 512, 640, 720.0)
     model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD)
@@ -101,18 +117,23 @@ def main():
         "unit": "depthmaps/s",
         "vs_baseline": round(value / BASELINE_DEPTHMAPS_PER_S, 3),
     }
+    note(f"bench: headline {record['value']} maps/s")
 
     if EXTRAS:
-        vis = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
-                          interval_scales=(2.0, 1.0, 0.5),
-                          dtype=jnp.bfloat16)
-        # 256x320 = the pipeline's downscale-2 of 512x640
-        dt = time_model(vis, scene(1, 3, 256, 320, 360.0), {}, iters=6)
-        record["vis_mvsnet_maps_s"] = round(1.0 / dt, 3)
-
-        cvp = build_model("cvp_mvsnet", dtype=jnp.bfloat16)
-        dt = time_model(cvp, args, {"nscale": 5}, iters=6)
-        record["cvp_mvsnet_maps_s"] = round(1.0 / dt, 3)
+        try:
+            note("bench: compiling/timing vis_mvsnet ...")
+            vis = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
+                              interval_scales=(2.0, 1.0, 0.5),
+                              dtype=jnp.bfloat16)
+            # 256x320 = the pipeline's downscale-2 of 512x640
+            dt = time_model(vis, scene(1, 3, 256, 320, 360.0), {}, iters=6)
+            record["vis_mvsnet_maps_s"] = round(1.0 / dt, 3)
+            note("bench: compiling/timing cvp_mvsnet ...")
+            cvp = build_model("cvp_mvsnet", dtype=jnp.bfloat16)
+            dt = time_model(cvp, args, {"nscale": 5}, iters=6)
+            record["cvp_mvsnet_maps_s"] = round(1.0 / dt, 3)
+        except Exception as e:  # never lose the headline to an extras crash
+            record["extras_error"] = str(e)[:200]
 
     print(json.dumps(record))
 
