@@ -1,0 +1,187 @@
+"""Mosaic lane-gather sweep kernel vs the exact gather warp.
+
+The kernel itself needs a real TPU; these tests run it through the Pallas
+interpreter on the CPU backend (same jaxpr, no Mosaic lowering), checking
+the geometry plumbing, window logic, packing, and the model-level cond
+dispatch. The compiled-kernel parity at full scale is measured on hardware
+by tools/proto_sweep_kernel3.py and recorded in BASELINE.md.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wildmvs.ops.mosaic_sweep import (build_corner_table, cost_volume_mosaic,
+                                      mosaic_sweep_warp, rot_planes,
+                                      sweep_spans, table_bytes)
+from wildmvs.ops.plane_sweep import plane_sweep_warp
+
+
+def _rig(H, W, yaw=0.02, roll=0.0, baseline=(2.0, 0.5, 0.0), f=60.0):
+    Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+    Rz = np.array([[np.cos(roll), -np.sin(roll), 0],
+                   [np.sin(roll), np.cos(roll), 0], [0, 0, 1]], np.float32)
+    Ry = Rz @ Ry
+    K = np.array([[f, 0, W / 2], [0, f, H / 2], [0, 0, 1]], np.float32)
+    ref_proj = np.eye(4, dtype=np.float32)
+    ref_proj[:3, :3] = K
+    src_proj = np.eye(4, dtype=np.float32)
+    src_proj[:3, :3] = K @ Ry
+    src_proj[:3, 3] = K @ np.asarray(baseline, np.float32)
+    return jnp.asarray(src_proj), jnp.asarray(ref_proj)
+
+
+def _warp_pair(H=16, W=40, C=8, D=12, yaw=0.02, roll=0.0, KY=2):
+    rng = np.random.default_rng(0)
+    src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W, yaw=yaw, roll=roll)
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)
+
+    ref = plane_sweep_warp(src[None].astype(jnp.float32), src_proj[None],
+                           ref_proj[None], depths[None], (H, W))[0]
+
+    rxyz, trans = rot_planes(src_proj, ref_proj, (H, W))
+    ybase, span = sweep_spans(rxyz, trans, depths, (H, W))
+    out = mosaic_sweep_warp(src, rxyz, trans, depths, ybase, KY=KY,
+                            interpret=True)
+    out_hw = jnp.transpose(out, (0, 1, 3, 2)).astype(jnp.float32)
+    return np.asarray(out_hw), np.asarray(ref), int(span)
+
+
+def test_kernel_matches_gather_interpret():
+    out, ref, span = _warp_pair()
+    assert span <= 1, span
+    # bf16 table + bf16 combine vs the f32 gather: rounding only
+    assert np.abs(out - ref).max() < 0.08
+    # and it actually warped something
+    assert (np.abs(ref) > 0).mean() > 0.5
+
+
+def test_kernel_zero_outside_frustum():
+    # huge baseline throws most pixels outside the source: kernel must
+    # produce exact zeros where the gather path does
+    out, ref, _ = _warp_pair(yaw=0.0, KY=2)
+    zero_ref = np.abs(ref) == 0
+    assert (np.abs(out[zero_ref]) == 0).all()
+
+
+def test_kernel_wide_span_window_matches_with_big_ky():
+    # in-plane-ish geometry with a larger row span still matches when KY
+    # covers the span
+    out, ref, span = _warp_pair(roll=0.12, KY=8)
+    assert span > 1, "test geometry should exercise a multi-row window"
+    assert span <= 7, span
+    assert np.abs(out - ref).max() < 0.08
+
+
+def test_corner_table_packing_roundtrip():
+    rng = np.random.default_rng(1)
+    H, W, C = 8, 12, 4
+    src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    table = build_corner_table(src)
+    assert table.dtype == jnp.int32
+    Ht, C2, Wpad = table.shape
+    assert (Ht, C2) == (H + 2, 2 * C) and Wpad % 128 == 0
+    assert table_bytes((H, W), C) == table.size * 4
+    # unpack in XLA (same interleave convention as pltpu.bitcast: int32
+    # sublane s -> bf16 sublanes (2s, 2s+1) = (low, high))
+    u = jax.lax.bitcast_convert_type(table, jnp.uint32)
+    lo = jax.lax.bitcast_convert_type((u & 0xFFFF).astype(jnp.uint16),
+                                      jnp.bfloat16)
+    hi = jax.lax.bitcast_convert_type((u >> 16).astype(jnp.uint16),
+                                      jnp.bfloat16)
+    quad = jnp.stack([lo, hi], axis=2).reshape(Ht, 4 * C, Wpad)
+    got = np.asarray(quad, np.float32)
+    # quad[y, :, x] == (p[y,x], p[y,x+1], p[y+1,x], p[y+1,x+1]) of the
+    # 1-ring zero-padded source, for y in [0, H], x in [0, W]; zeros beyond
+    p = np.zeros((H + 3, W + 3, C), np.float32)
+    p[1:H + 1, 1:W + 1] = np.asarray(src, np.float32)
+    for (y, x) in [(0, 0), (1, 1), (4, 7), (H, W), (H + 1, W + 1)]:
+        want = np.concatenate([p[y, x], p[y, x + 1], p[y + 1, x],
+                               p[y + 1, x + 1]])
+        if y > H or x > W:
+            want = np.zeros(4 * C, np.float32)
+        np.testing.assert_allclose(got[y, :, x], want, rtol=0, atol=0)
+
+
+def test_px_kernel_per_pixel_depths_interpret():
+    # the streamed-window kernel with [D, H, W] hypothesis maps (the CVP
+    # refinement configuration) vs the exact gather
+    from wildmvs.ops.mosaic_sweep import mosaic_sweep_warp_px, sweep_spans_px
+    H, W, C, D = 32, 144, 8, 6
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    base = (600.0 + 100.0 * np.sin(np.linspace(0, 3, H))[:, None]
+            + 50.0 * np.cos(np.linspace(0, 2, W))[None, :])
+    offs = np.linspace(-20, 20, D)
+    depths = jnp.asarray((base[None] + offs[:, None, None]).astype(np.float32))
+
+    ref = plane_sweep_warp(src[None].astype(jnp.float32), src_proj[None],
+                           ref_proj[None], depths[None], (H, W))[0]
+    rxyz, trans = rot_planes(src_proj, ref_proj, (H, W))
+    plan = sweep_spans_px(rxyz, trans, depths, (H, W))
+    assert int(plan["yspan"]) <= 1 and int(plan["xover"]) <= 0
+    out = mosaic_sweep_warp_px(src, rxyz, trans, depths, plan, KY=2, KR=16,
+                               interpret=True)
+    out_hw = np.asarray(jnp.transpose(out, (0, 1, 3, 2)), np.float32)
+    assert np.abs(out_hw - np.asarray(ref)).max() < 0.08
+    assert (np.abs(np.asarray(ref)) > 0).mean() > 0.5
+
+
+def test_variance_volume_mosaic_px_matches_gather():
+    from wildmvs.ops.mosaic_sweep import variance_volume_mosaic_px
+    from wildmvs.ops.volumes import variance_cost_volume
+    B, N, H, W, C, D = 1, 3, 16, 40, 8, 5
+    rng = np.random.default_rng(4)
+    feats = [jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+             for _ in range(N)]
+    src_proj, ref_proj = _rig(H, W)
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    base = 600.0 + 30.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 10.0 * np.cos(np.linspace(0, 2, W))[None, :]
+    offs = np.linspace(-15, 15, D)
+    hyp = jnp.asarray((base[None] + offs[:, None, None]).astype(np.float32))[None]
+
+    cv = variance_volume_mosaic_px(feats, proj, hyp, (H, W), KR=18,
+                                   interpret=True)
+    fns = [(lambda i=i: plane_sweep_warp(feats[i], proj[:, i], proj[:, 0],
+                                         hyp, (H, W))) for i in (1, 2)]
+    want = variance_cost_volume(feats[0], warp_fns=fns, num_depth=D)
+    assert cv.shape == want.shape == (B, D, H, W, C)
+    assert np.abs(np.asarray(cv, np.float32)
+                  - np.asarray(want, np.float32)).max() < 0.15
+
+
+def test_cost_volume_mosaic_dispatch_interpret(monkeypatch):
+    # the model-level dispatch: kernel branch output must match the gather
+    # branch's variance volume (forced through interpret mode)
+    import wildmvs.ops.mosaic_sweep as ms
+
+    real_warp = ms.mosaic_sweep_warp
+    monkeypatch.setattr(ms, "mosaic_sweep_warp",
+                        lambda *a, **k: real_warp(*a, **{**k,
+                                                         "interpret": True}))
+
+    rng = np.random.default_rng(2)
+    B, N, H, W, C, D = 1, 3, 16, 40, 8, 12
+    feats = jnp.asarray(rng.standard_normal((B, N, H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+
+    cv = ms.cost_volume_mosaic(feats, proj, [1, 2], 0, depths, (H, W),
+                               "variance", D)
+    from wildmvs.ops.volumes import variance_cost_volume
+    fns = [(lambda i=i: plane_sweep_warp(feats[:, i], proj[:, i],
+                                         proj[:, 0], depths, (H, W)))
+           for i in (1, 2)]
+    want = variance_cost_volume(feats[:, 0], warp_fns=fns, num_depth=D)
+    assert cv.shape == want.shape == (B, D, H, W, C)
+    a = np.asarray(cv, np.float32)
+    b = np.asarray(want, np.float32)
+    assert np.abs(a - b).max() < 0.15  # bf16 accumulation differences

@@ -238,6 +238,27 @@ class CVPMVSNet(nn.Module):
             from ..geometry.projective import build_proj_matrices
             return build_proj_matrices(level_K(level), Ro, to)  # [B,N,4,4]
 
+        from ..ops.volumes import variance_cost_volume
+
+        def level_cost(flevel, proj, hyp, fh, fw):
+            """Variance cost volume for one pyramid level: the Mosaic
+            streamed kernel (ops/mosaic_sweep.py, ~3.5-5x the gather at
+            eval sizes, runtime exact-fallback cond) when eligible, else
+            the exact XLA gather."""
+            if not train and not ragged:
+                from ..ops.mosaic_sweep import (mosaic_px_supported,
+                                                variance_volume_mosaic_px)
+                if mosaic_px_supported((fh, fw), flevel[0].dtype):
+                    return variance_volume_mosaic_px(flevel, proj, hyp,
+                                                     (fh, fw))
+            warp_fns = [
+                (lambda i=i: plane_sweep_warp(flevel[i], proj[:, i],
+                                              proj[:, 0], hyp, (fh, fw)))
+                for i in range(1, n)
+            ]
+            return variance_cost_volume(flevel[0], warp_fns=warp_fns,
+                                        num_depth=hyp.shape[1])
+
         # ---- coarsest level: full sweep ----
         nhyp = 48 if train else 96
         interval = (dmax - dmin) / nhyp  # (max-min)/D (modules.py:58)
@@ -247,14 +268,7 @@ class CVPMVSNet(nn.Module):
         proj = level_proj(nscale - 1)
         fcoarse = feats[nscale - 1]
         fh, fw = fcoarse[0].shape[1:3]
-        warp_fns = [
-            (lambda i=i: plane_sweep_warp(fcoarse[i], proj[:, i],
-                                          proj[:, 0], depth_hypos, (fh, fw)))
-            for i in range(1, n)
-        ]
-        from ..ops.volumes import variance_cost_volume
-        cost = variance_cost_volume(fcoarse[0], warp_fns=warp_fns,
-                                    num_depth=nhyp)
+        cost = level_cost(fcoarse, proj, depth_hypos, fh, fw)
         # keep the 3D-reg convs' D-in-lanes layout from propagating into the
         # warp gather (same measured win as mvsnet.py:204)
         cost = jax.lax.optimization_barrier(cost)
@@ -278,13 +292,7 @@ class CVPMVSNet(nn.Module):
                                      Ro[:, 0], to[:, 0], Ro[:, 1], to[:, 1],
                                      dmin, dmax)
             proj = level_proj(level)
-            warp_fns = [
-                (lambda i=i: plane_sweep_warp(flevel[i], proj[:, i],
-                                              proj[:, 0], hyp, (fh, fw)))
-                for i in range(1, n)
-            ]
-            cost = variance_cost_volume(flevel[0], warp_fns=warp_fns,
-                                        num_depth=hyp.shape[1])
+            cost = level_cost(flevel, proj, hyp, fh, fw)
             cost = jax.lax.optimization_barrier(cost)
             prob = nn.softmax(reg_net(cost, train), axis=1)
             depth = depth_regression(prob, hyp)

@@ -81,9 +81,11 @@ class MVSNet(nn.Module):
     # featurizes all views in one batched call instead (identical at eval,
     # faster, but train-mode BN then normalizes across views)
     batched_bn: bool = False
-    # plane-sweep warp backend: "auto" (= "gather", the measured-fastest
-    # exact path), "wide" (octet wide-gather w/ exact runtime fallback,
-    # inference only), or "pallas" (inference only) — see BASELINE.md
+    # plane-sweep warp backend: "auto" picks the Mosaic lane-gather kernel
+    # (ops/mosaic_sweep.py; ~5x the exact XLA gather, with a runtime
+    # span-cond fallback to it) at bf16 eval on TPU and the exact gather
+    # everywhere else; "gather"/"mosaic"/"wide"/"pallas" force a backend
+    # (the latter three inference-only) — see BASELINE.md
     sweep_method: str = "auto"
     # mesh axis name to shard the depth-hypothesis dimension over (the
     # "hyp" slab sharding, SURVEY long-axis parallelism). When set, the
@@ -142,17 +144,26 @@ class MVSNet(nn.Module):
         ref_proj = proj[:, reference_frame]
         ref_depths = depth_values[:, reference_frame]  # [B, D]
 
-        # "auto" keeps the exact XLA gather: the octet wide-gather path
-        # (ops/wide_sweep.py) is ~1.3x faster as a standalone op but ties
-        # in-model (XLA fuses the gather's combine into the aggregation and
-        # demotes it to bf16 under --xla_allow_excess_precision, so the
-        # in-context gather already runs at the wide path's speed); "wide"
-        # and "pallas" force the studied variants (inference only)
+        # "auto" resolution: the Mosaic kernel needs bf16 features, uniform
+        # views, fronto-parallel hypotheses, a TPU backend, and no ambient
+        # hyp-axis sharding (pallas_call does not partition over the depth
+        # axis); everything else keeps the exact XLA gather
         method = self.sweep_method
+        hyp_active = False
+        if self.hyp_axis is not None:
+            from jax.sharding import get_abstract_mesh
+            m = get_abstract_mesh()
+            hyp_active = (m is not None
+                          and self.hyp_axis in getattr(m, "axis_names", ()))
         if method == "auto":
-            method = "gather"
+            from ..ops.mosaic_sweep import mosaic_supported
+            use = (not train and not ragged and not hyp_active
+                   and feats is not None
+                   and mosaic_supported(feats.shape[2:4], feats.shape[2:4],
+                                        feats.shape[-1], feats.dtype))
+            method = "mosaic" if use else "gather"
         if ragged:
-            method = "gather"  # the wide/pallas studies assume uniform srcs
+            method = "gather"  # fast paths assume uniform source sizes
         if method == "pallas" and not train and fh % 8 == 0:
             from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
         else:
@@ -171,7 +182,14 @@ class MVSNet(nn.Module):
                                            temperature=temp)
             raise NotImplementedError(f"aggregation: {self.aggregation}")
 
-        if method == "wide" and not train:
+        if method == "mosaic" and not train:
+            # Mosaic lane-gather sweep, ONE span-cond around the whole
+            # aggregation per batch element (KY=2 -> KY=4 -> exact gather)
+            from ..ops.mosaic_sweep import cost_volume_mosaic
+            cost_volume = cost_volume_mosaic(
+                feats, proj, src_idx, reference_frame, ref_depths,
+                (fh, fw), agg, self.num_depth, temp=temp)
+        elif method == "wide" and not train:
             # octet wide-gather sweep with ONE exact-fallback cond around
             # the whole aggregation (see ops/wide_sweep.cost_volume_wide
             # for why the cond must not sit at the per-view warp)

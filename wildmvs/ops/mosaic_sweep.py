@@ -1,0 +1,707 @@
+"""Mosaic (Pallas TPU) fused plane-sweep warp — the round-2 warp kernel.
+
+Breaks the XLA gather floor (~9 ns/index, ~34 ms/view at the headline
+cost-volume size) that bounded every model's forward in round 1: measured
+6.7 ms/view at KY=2 (10.9 at KY=4) for D=192 H=128 W=160 C=32 on v5e, exact
+to bf16 rounding vs the gather path (see tools/proto_sweep_kernel*.py and
+BASELINE.md "warp-study round 4").
+
+How it works (per source view):
+  * XLA builds a 4C corner table: rows (y, y+1) x cols (x, x+1) of the
+    1-zero-ring-padded source, channel-concatenated, so ONE table element
+    holds all four bilinear corners of a sample. bf16 channel pairs are
+    packed into int32 sublanes (Mosaic's dynamic gather handles f32/int32
+    only): table [Ht=H+2, 2C, Wpad].
+  * The whole table sits resident in VMEM. Per grid step (depth plane d,
+    8-row block), the projection runs in-kernel on full [8, Wpad] vregs
+    (coords are affine-in-depth per pixel: rot_xyz * d + trans — parity
+    with models/MVSNet/module.py:127-155 math, pixel units).
+  * Per (row, 128-px chunk): the x-selection is ONE per-lane dynamic
+    gather per 128-lane table tile (jnp.take_along_axis along the minor
+    axis -> Mosaic DynamicGatherOp) + a where-select across tiles — no
+    x-span restriction at all. The y-selection indexes the KY candidate
+    table rows (dynamic major index, scalar-prefetched per-row ybase) and
+    where-selects per pixel.
+  * Bilinear combine happens in-register; output layout is [D, H, C, W]
+    (pixels in lanes — a [.., W, C]-minor volume would pad its 32-channel
+    minor 4x under TPU (8,128)/(16,128) tiling).
+
+Exactness domain: per (depth, output row, 128-px chunk), the VALID pixels'
+source-row span must fit the KY-row window. `sweep_spans` checks it in XLA;
+`cost_volume_mosaic` hoists ONE lax.cond around the whole aggregation
+(KY=2 -> KY=4 -> exact gather), so model semantics never depend on scene
+geometry (up to bf16 rounding on the kernel path).
+
+Semantics parity: models/MVSNet/module.py:111-169 (`homo_warping`) —
+border-zero bilinear, align_corners=True, behind-camera -> far away.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+RB = 8               # output rows per grid step
+TABLE_VMEM_LIMIT = 11 * 2 ** 20   # resident-table budget (bytes)
+
+
+# ---------------------------------------------------------------------------
+# table + plan construction (XLA side)
+# ---------------------------------------------------------------------------
+
+def build_corner_table(src: jnp.ndarray) -> jnp.ndarray:
+    """bf16 [H, W, C] -> packed int32 [H+2, 2C, Wpad] corner table.
+
+    Table element (y, :, x) holds the four bilinear corners of padded
+    coordinate (y, x) — source pixels (y-1..y, x-1..x) — as 4C bf16
+    channels packed pairwise into 2C int32 sublanes. pltpu.bitcast maps
+    int32 sublane s back to bf16 sublanes (2s, 2s+1) = (low, high) halves
+    (probed on v5e, tools/probe_mosaic2.py).
+    """
+    h, w, c = src.shape
+    p = jnp.pad(src.astype(jnp.bfloat16), ((1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], -1)
+    quad = jnp.pad(quad, ((0, 1), (0, 1), (0, 0)))        # [h+2, w+2, 4C]
+    ht, wt = h + 2, w + 2
+    wpad = ((wt + LANES - 1) // LANES) * LANES
+    quad = jnp.pad(quad, ((0, 0), (0, wpad - wt), (0, 0)))
+    quad = jnp.transpose(quad, (0, 2, 1))                 # [Ht, 4C, Wpad]
+    u16 = jax.lax.bitcast_convert_type(quad, jnp.uint16).astype(jnp.uint32)
+    packed = u16[:, 0::2] | (u16[:, 1::2] << 16)
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def table_bytes(src_hw: tuple[int, int], c: int) -> int:
+    """VMEM bytes of the resident corner table for an [h, w, c] source."""
+    h, w = src_hw
+    wpad = ((w + 2 + LANES - 1) // LANES) * LANES
+    return (h + 2) * 2 * c * wpad * 4
+
+
+def rot_planes(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
+               ref_hw: tuple[int, int]):
+    """Per-pixel projection planes: coords = (rot_xyz * d + trans) / z.
+
+    Single view: projs [4, 4]. Returns (rot_xyz [3, H, W] f32, trans [3]).
+    Mirrors ops.pallas_sweep.sweep_coords_from_projs (module.py:127-155).
+    """
+    from ..geometry.projective import pixel_grid
+    rh, rw = ref_hw
+    proj = (src_proj @ jnp.linalg.inv(ref_proj)).astype(jnp.float32)
+    rot, trans = proj[:3, :3], proj[:3, 3]
+    grid = pixel_grid(rh, rw, jnp.float32)
+    xyz = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)
+    return jnp.einsum("ij,hwj->ihw", rot, xyz), trans
+
+
+def sweep_spans(rot_xyz: jnp.ndarray, trans: jnp.ndarray,
+                depths: jnp.ndarray, src_hw: tuple[int, int]):
+    """Per-(depth, row, chunk) window bases + the max row span.
+
+    Returns (ybase [D, H, XC] int32 — UNclipped valid-masked min of the
+    padded corner row, 0 where no pixel is valid — and span, the int32
+    scalar max over chunks of (max - min) valid corner row; the KY-row
+    kernel is exact iff span <= KY - 1).
+    """
+    h, w = src_hw
+    d = depths.shape[0]
+    _, rh, rw = rot_xyz.shape
+    xc = (rw + LANES - 1) // LANES
+    wp = xc * LANES
+
+    rp = jnp.pad(rot_xyz, ((0, 0), (0, 0), (0, wp - rw)),
+                 constant_values=-1e9)
+    dv = depths.reshape(d, 1, 1).astype(jnp.float32)
+    rz = rp[2] * dv + trans[2]
+    zs = jnp.where(rz > 0, rz, 1.0)
+    ys = jnp.where(rz > 0, (rp[1] * dv + trans[1]) / zs, -10.0)
+    xs = jnp.where(rz > 0, (rp[0] * dv + trans[0]) / zs, -10.0)
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    valid = ((x0f >= -1.0) & (x0f <= float(w) - 1.0)
+             & (y0f >= -1.0) & (y0f <= float(h) - 1.0))
+    iy = jnp.clip(y0f + 1.0, 0.0, float(h + 1))
+    iyc = iy.reshape(d, rh, xc, LANES)
+    vc = valid.reshape(d, rh, xc, LANES)
+    big = jnp.float32(1e9)
+    ymin = jnp.min(jnp.where(vc, iyc, big), -1)
+    ymax = jnp.max(jnp.where(vc, iyc, -big), -1)
+    span = jnp.maximum(ymax - ymin, 0.0).max().astype(jnp.int32)
+    ybase = jnp.where(ymin > big / 2, 0.0, ymin)
+    return ybase.astype(jnp.int32), span
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _kernel(ybase_ref, depth_ref, trans_ref, rotx_ref, roty_ref, rotz_ref,
+            table_ref, out_ref, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
+            *, C, H, W, Wt, Ht, KY, XC):
+    d_i = pl.program_id(0)
+    yy = pl.program_id(1)
+    C2 = C * 2
+    d = depth_ref[d_i]
+
+    rx = rotx_ref[:] * d + trans_ref[0]
+    ry = roty_ref[:] * d + trans_ref[1]
+    rz = rotz_ref[:] * d + trans_ref[2]
+    xs = jnp.where(rz > 0, rx / rz, -10.0)
+    ys = jnp.where(rz > 0, ry / rz, -10.0)
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fxb = xs - x0f
+    fyb = ys - y0f
+    validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
+              & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
+    ix_s[:] = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
+    iy_s[:] = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
+    vb = validb.astype(jnp.float32)
+    w00_s[:] = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w01_s[:] = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
+    w10_s[:] = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w11_s[:] = (fyb * fxb * vb).astype(jnp.bfloat16)
+
+    for r in range(RB):
+        for xc in range(XC):
+            ls = pl.ds(xc * LANES, LANES)
+            ix = ix_s[r, ls]
+            iy = iy_s[r, ls]
+            ybase = ybase_ref[(d_i * pl.num_programs(1) * RB
+                               + yy * RB + r) * XC + xc]
+            iyl = jnp.clip(iy - ybase, 0, KY - 1)
+            inwin = (iy - ybase) == iyl
+            idx = jnp.broadcast_to(ix[None], (C2, LANES))
+            sel = None
+            for k in range(KY):
+                row = table_ref[ybase + k]
+                g = None
+                for t in range(Wt):
+                    tile = row[:, t * LANES:(t + 1) * LANES]
+                    loc = jnp.clip(idx - t * LANES, 0, LANES - 1)
+                    gt = jnp.take_along_axis(tile, loc, axis=1)
+                    if g is None:
+                        g = gt
+                    else:
+                        use = (idx >= t * LANES) & (idx < (t + 1) * LANES)
+                        g = jnp.where(use, gt, g)
+                ok = jnp.broadcast_to((iyl == k)[None], (C2, LANES))
+                sel = g if sel is None else jnp.where(ok, g, sel)
+            quad = pltpu.bitcast(sel, jnp.bfloat16)        # [4C, 128]
+            mask = inwin.astype(jnp.bfloat16)[None]
+            out = (quad[0 * C:1 * C] * w00_s[r, ls][None]
+                   + quad[1 * C:2 * C] * w01_s[r, ls][None]
+                   + quad[2 * C:3 * C] * w10_s[r, ls][None]
+                   + quad[3 * C:4 * C] * w11_s[r, ls][None]) * mask
+            out_ref[0, r, :, ls] = out
+
+
+def mosaic_sweep_warp(src: jnp.ndarray, rot_xyz: jnp.ndarray,
+                      trans: jnp.ndarray, depths: jnp.ndarray,
+                      ybase: jnp.ndarray, KY: int = 2,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused warp of one source view over a fronto-parallel sweep.
+
+    Args:
+      src: [h, w, C] bf16 source features.
+      rot_xyz: [3, H, W] f32 projection planes (`rot_planes`).
+      trans: [3] translation (static-ized via float()).
+      depths: [D] f32 hypothesis depths.
+      ybase: [D, H, XC] int32 window bases (`sweep_spans`, clipped here).
+      KY: candidate-row window height; exact iff span <= KY - 1.
+    Returns:
+      [D, H, C, W] bf16 warped volume (pixels in lanes).
+    """
+    h, w, C = src.shape
+    D = depths.shape[0]
+    _, H, W = rot_xyz.shape
+    XC = (W + LANES - 1) // LANES
+    Wp = XC * LANES
+    assert H % RB == 0, (H, RB)
+    table = build_corner_table(src)
+    Ht, C2, Wpad = table.shape
+    Wt = Wpad // LANES
+    rp = jnp.pad(rot_xyz, ((0, 0), (0, 0), (0, Wp - W)),
+                 constant_values=-1e9)
+    yb = jnp.clip(ybase, 0, Ht - KY).reshape(-1)
+
+    kern = functools.partial(
+        _kernel, C=C, H=h, W=w, Wt=Wt, Ht=Ht, KY=KY, XC=XC)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(D, H // RB),
+        in_specs=[
+            pl.BlockSpec((RB, Wp), lambda di, yy, *pf: (yy, 0)),
+            pl.BlockSpec((RB, Wp), lambda di, yy, *pf: (yy, 0)),
+            pl.BlockSpec((RB, Wp), lambda di, yy, *pf: (yy, 0)),
+            pl.BlockSpec((Ht, C2, Wpad), lambda di, yy, *pf: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, RB, C, Wp),
+                               lambda di, yy, *pf: (di, yy, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((RB, Wp), jnp.int32),
+            pltpu.VMEM((RB, Wp), jnp.int32),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), jnp.bfloat16),
+        interpret=interpret,
+    )(yb, depths.astype(jnp.float32), trans.astype(jnp.float32),
+      rp[0], rp[1], rp[2], table)
+    return out[..., :W]
+
+
+# ---------------------------------------------------------------------------
+# v2: per-pixel hypothesis maps + tile-major table + streamed row window.
+#
+# CVP-MVSNet's refinement levels warp with [D, H, W] per-pixel depth maps at
+# image sizes whose corner table exceeds VMEM (512x640 C16 -> 50 MB). Two
+# changes make the kernel cover them:
+#   * table laid out TILE-MAJOR [Wt, Ht, C2, 128]: the x-tile pair a chunk
+#     needs becomes a dynamic major index (2 gathers per candidate row
+#     regardless of image width, vs Wt gathers in the v1 layout)
+#   * the table lives in HBM; per output row-block, the row slab all its
+#     depth planes need is DMA'd into a VMEM window (grid (HB, D), d minor,
+#     so the DMA amortizes over the D planes)
+# Exactness domain (checked in XLA, lax.cond fallback): per-chunk x-span
+# <= 128 (2-tile window), per-chunk y-span <= KY-1, per-row-block window
+# rows <= KR.
+# ---------------------------------------------------------------------------
+
+def build_corner_table_tiled(src: jnp.ndarray) -> jnp.ndarray:
+    """Tile-major packed corner table: [Wt, Ht, 2C, 128] int32."""
+    t = build_corner_table(src)                    # [Ht, 2C, Wpad]
+    ht, c2, wpad = t.shape
+    wt = wpad // LANES
+    return jnp.transpose(t.reshape(ht, c2, wt, LANES), (2, 0, 1, 3))
+
+
+def _kernel_px(ybase_ref, xtb_ref, wb_ref, trans_ref,
+               rotx_ref, roty_ref, rotz_ref,    # VMEM [RB, Wp] f32
+               dmap_ref,                        # VMEM [1, RB, Wp] f32
+               table_ref,                       # ANY [Wt, Ht, C2, 128] i32
+               out_ref,                         # VMEM [1, RB, C, Wp]
+               win_ref, sem,                    # scratch: window + DMA sem
+               ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
+               *, C, H, W, Ht, Wt, KY, KR, XC, NT, sx, sy):
+    yy = pl.program_id(0)
+    d_i = pl.program_id(1)
+    C2 = C * 2
+    nd = pl.num_programs(1)
+
+    # ---- window DMA: once per row block (d_i == 0) ----
+    wb = wb_ref[yy]
+
+    @pl.when(d_i == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(wb, KR)], win_ref, sem)
+        dma.start()
+        dma.wait()
+
+    # ---- vectorized per-pixel plan ----
+    d = dmap_ref[0]                               # [RB, Wp]
+    rx = rotx_ref[:] * d + trans_ref[0]
+    ry = roty_ref[:] * d + trans_ref[1]
+    rz = rotz_ref[:] * d + trans_ref[2]
+    xs = jnp.where(rz > 0, rx / rz, -10.0) * sx
+    ys = jnp.where(rz > 0, ry / rz, -10.0) * sy
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fxb = xs - x0f
+    fyb = ys - y0f
+    validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
+              & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
+    ix_s[:] = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
+    iy_s[:] = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
+    vb = validb.astype(jnp.float32)
+    w00_s[:] = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w01_s[:] = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
+    w10_s[:] = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w11_s[:] = (fyb * fxb * vb).astype(jnp.bfloat16)
+
+    for r in range(RB):
+        for xc in range(XC):
+            ls = pl.ds(xc * LANES, LANES)
+            ix = ix_s[r, ls]
+            iy = iy_s[r, ls]
+            pi = (d_i * H + yy * RB + r) * XC + xc
+            ybase = ybase_ref[pi]
+            xtb = xtb_ref[pi]
+            iyl = jnp.clip(iy - ybase, 0, KY - 1)
+            inwin = (iy - ybase) == iyl
+            idx = jnp.broadcast_to(ix[None], (C2, LANES))
+            # window-relative row; clamped so even a fallback-bound trace
+            # can never index the window OOB (the cond dispatch only runs
+            # this kernel when wspan <= KR - KY, where the clamp is a no-op)
+            ywin = jnp.clip(ybase - wb, 0, KR - KY)
+            sel = None
+            for k in range(KY):
+                g = None
+                for t in range(NT):
+                    tile = win_ref[xtb + t, ywin + k]
+                    base = (xtb + t) * LANES
+                    loc = jnp.clip(idx - base, 0, LANES - 1)
+                    gt = jnp.take_along_axis(tile, loc, axis=1)
+                    if g is None:
+                        g = gt
+                    else:
+                        use = (idx >= base) & (idx < base + LANES)
+                        g = jnp.where(use, gt, g)
+                ok = jnp.broadcast_to((iyl == k)[None], (C2, LANES))
+                sel = g if sel is None else jnp.where(ok, g, sel)
+            quad = pltpu.bitcast(sel, jnp.bfloat16)
+            mask = inwin.astype(jnp.bfloat16)[None]
+            out = (quad[0 * C:1 * C] * w00_s[r, ls][None]
+                   + quad[1 * C:2 * C] * w01_s[r, ls][None]
+                   + quad[2 * C:3 * C] * w10_s[r, ls][None]
+                   + quad[3 * C:4 * C] * w11_s[r, ls][None]) * mask
+            out_ref[0, r, :, ls] = out
+
+
+def sweep_spans_px(rot_xyz: jnp.ndarray, trans: jnp.ndarray,
+                   depths: jnp.ndarray, src_hw: tuple[int, int],
+                   sx: float = 1.0, sy: float = 1.0):
+    """Window plan for the per-pixel kernel.
+
+    depths: [D] or [D, H, W]. Returns dict with ybase/xtb [D, H, XC] i32,
+    wb [HB] i32, and the exactness stats (yspan, xover, wspan int32
+    scalars): exact iff yspan <= KY-1, xover <= 0 (per-chunk max corner col
+    inside its 2-tile window), wspan <= KR - KY.
+    """
+    h, w = src_hw
+    d = depths.shape[0]
+    _, rh, rw = rot_xyz.shape
+    xc = (rw + LANES - 1) // LANES
+    wp = xc * LANES
+    wtiles = ((w + 2 + LANES - 1) // LANES)
+
+    rp = jnp.pad(rot_xyz, ((0, 0), (0, 0), (0, wp - rw)),
+                 constant_values=-1e9)
+    if depths.ndim == 1:
+        dv = depths.reshape(d, 1, 1).astype(jnp.float32)
+    else:
+        dv = jnp.pad(depths.astype(jnp.float32),
+                     ((0, 0), (0, 0), (0, wp - rw)))
+    rz = rp[2] * dv + trans[2]
+    zs = jnp.where(rz > 0, rz, 1.0)
+    ys = jnp.where(rz > 0, (rp[1] * dv + trans[1]) / zs, -10.0) * sy
+    xs = jnp.where(rz > 0, (rp[0] * dv + trans[0]) / zs, -10.0) * sx
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    valid = ((x0f >= -1.0) & (x0f <= float(w) - 1.0)
+             & (y0f >= -1.0) & (y0f <= float(h) - 1.0))
+    iy = jnp.clip(y0f + 1.0, 0.0, float(h + 1))
+    ix = jnp.clip(x0f + 1.0, 0.0, float(w + 1))
+    iyc = iy.reshape(d, rh, xc, LANES)
+    ixc = ix.reshape(d, rh, xc, LANES)
+    vc = valid.reshape(d, rh, xc, LANES)
+    big = jnp.float32(1e9)
+    ymin = jnp.min(jnp.where(vc, iyc, big), -1)
+    ymax = jnp.max(jnp.where(vc, iyc, -big), -1)
+    xmin = jnp.min(jnp.where(vc, ixc, big), -1)
+    xmax = jnp.max(jnp.where(vc, ixc, -big), -1)
+    yspan = jnp.maximum(ymax - ymin, 0.0).max().astype(jnp.int32)
+    ybase = jnp.where(ymin > big / 2, 0.0, ymin).astype(jnp.int32)
+    xtb = (jnp.where(xmin > big / 2, 0.0, xmin) // LANES).astype(jnp.int32)
+    # exact x condition: every chunk's max corner col must fall inside its
+    # 2-tile window [xtb*128, (xtb+2)*128) — alignment-dependent, NOT a
+    # plain span bound (xover <= 0 iff exact; all-invalid chunks pass)
+    xhi = jnp.where(xmax < -big / 2, 0.0, xmax)
+    xover = (xhi - ((xtb + 2) * LANES - 1).astype(jnp.float32)) \
+        .max().astype(jnp.int32)
+    # per row-block: window rows needed across ALL depth planes
+    hb = rh // RB
+    yb_blk = ymin.reshape(d, hb, RB, xc)
+    ye_blk = ymax.reshape(d, hb, RB, xc)
+    wlo = jnp.min(jnp.where(yb_blk > big / 2, big, yb_blk), (0, 2, 3))
+    whi = jnp.max(jnp.where(ye_blk < -big / 2, -big, ye_blk), (0, 2, 3))
+    wspan = jnp.maximum(whi - wlo, 0.0).max().astype(jnp.int32)
+    wb = jnp.where(wlo > big / 2, 0.0, wlo).astype(jnp.int32)  # [HB]
+    return dict(ybase=ybase, xtb=xtb, wb=wb,
+                yspan=yspan, xover=xover, wspan=wspan)
+
+
+def mosaic_sweep_warp_px(src: jnp.ndarray, rot_xyz: jnp.ndarray,
+                         trans: jnp.ndarray, depths: jnp.ndarray,
+                         plan: dict, KY: int = 2, KR: int = 32,
+                         sx: float = 1.0, sy: float = 1.0,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Streamed-window warp with [D] or [D, H, W] depths.
+
+    Exact iff plan's yspan <= KY-1, xover <= 0, wspan <= KR-KY (callers
+    dispatch on these). Returns [D, H, C, W] bf16.
+    """
+    h, w, C = src.shape
+    D = depths.shape[0]
+    _, H, W = rot_xyz.shape
+    XC = (W + LANES - 1) // LANES
+    Wp = XC * LANES
+    assert H % RB == 0, (H, RB)
+    table = build_corner_table_tiled(src)
+    Wt, Ht, C2, _ = table.shape
+    NT = min(2, Wt)
+    KR = min(KR, Ht)
+    rp = jnp.pad(rot_xyz, ((0, 0), (0, 0), (0, Wp - W)),
+                 constant_values=-1e9)
+    if depths.ndim == 1:
+        dmap = jnp.broadcast_to(
+            depths.astype(jnp.float32)[:, None, None], (D, H, Wp))
+    else:
+        dmap = jnp.pad(depths.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, Wp - W)))
+    yb = jnp.clip(plan["ybase"], 0, Ht - KY)
+    wb = jnp.clip(plan["wb"], 0, Ht - KR)
+    xtb = jnp.clip(plan["xtb"], 0, Wt - NT)
+
+    kern = functools.partial(
+        _kernel_px, C=C, H=H, W=w, Ht=Ht, Wt=Wt, KY=KY, KR=KR, XC=XC,
+        NT=NT, sx=sx, sy=sy)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(H // RB, D),
+        in_specs=[
+            pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0)),
+            pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0)),
+            pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0)),
+            pl.BlockSpec((1, RB, Wp), lambda yy, di, *pf: (di, yy, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, RB, C, Wp),
+                               lambda yy, di, *pf: (di, yy, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Wt, KR, C2, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((RB, Wp), jnp.int32),
+            pltpu.VMEM((RB, Wp), jnp.int32),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), jnp.bfloat16),
+        interpret=interpret,
+    )(yb.reshape(-1), xtb.reshape(-1), wb, trans.astype(jnp.float32),
+      rp[0], rp[1], rp[2], dmap, table)
+    return out[..., :W]
+
+
+def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
+                              KY: int = 2, KR: int = 48,
+                              interpret: bool = False) -> jnp.ndarray:
+    """Variance cost volume via the streamed px kernel, exact fallback.
+
+    CVP-MVSNet's per-level aggregation (all levels: the coarse full sweep
+    and the per-pixel-hypothesis refinements). One runtime cond around the
+    whole aggregation per batch element; when KR covers the full table
+    height the window constraint vanishes (the DMA loads the whole table —
+    the resident regime).
+
+    Args:
+      feats_l: list of [B, h, w, C] bf16 features, reference FIRST.
+      proj: [B, N, 4, 4] level-scaled projections (same order).
+      ref_depths: [B, D] or [B, D, H, W] hypotheses.
+      ref_hw: (H, W) of the reference grid (H % 8 == 0).
+    Returns:
+      [B, D, H, W, C] variance cost volume (feature dtype).
+    """
+    from .plane_sweep import plane_sweep_warp
+    from .volumes import variance_cost_volume
+
+    n = len(feats_l)
+    b = feats_l[0].shape[0]
+    H, W = ref_hw
+    h, w = feats_l[1].shape[1:3]
+    Ht = h + 2
+    KR = min(KR, Ht)
+    full_window = KR == Ht
+    num_depth = ref_depths.shape[1]
+    dtype = feats_l[0].dtype
+
+    outs = []
+    for bb in range(b):
+        db = ref_depths[bb]
+        rp = proj[bb, 0]
+
+        planes = []
+        ok = None
+        for i in range(1, n):
+            rxyz, trans = rot_planes(proj[bb, i], rp, ref_hw)
+            plan = sweep_spans_px(rxyz, trans, db, (h, w))
+            planes.append((i, rxyz, trans, plan))
+            fit = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
+            if not full_window:
+                fit = fit & (plan["wspan"] <= KR - KY)
+            ok = fit if ok is None else ok & fit
+
+        def kernel_branch():
+            ref_v = jnp.transpose(feats_l[0][bb],
+                                  (0, 2, 1))[None].astype(jnp.float32)
+            vol_sum = None
+            vol_sq = None
+            for i, rxyz, trans, plan in planes:
+                warped = mosaic_sweep_warp_px(
+                    feats_l[i][bb], rxyz, trans, db, plan, KY=KY, KR=KR,
+                    interpret=interpret).astype(jnp.float32)  # [D, H, C, W]
+                sq = warped ** 2
+                vol_sum = warped if vol_sum is None else vol_sum + warped
+                vol_sq = sq if vol_sq is None else vol_sq + sq
+            vol_sum = vol_sum + ref_v
+            vol_sq = vol_sq + ref_v ** 2
+            cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
+            return jnp.transpose(cv, (0, 1, 3, 2))            # [D, H, W, C]
+
+        def gather_branch():
+            fns = [(lambda i=i: plane_sweep_warp(
+                feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
+                db[None], ref_hw)) for i in range(1, n)]
+            return variance_cost_volume(feats_l[0][bb:bb + 1],
+                                        warp_fns=fns,
+                                        num_depth=num_depth)[0]
+
+        outs.append(jax.lax.cond(ok, kernel_branch, gather_branch))
+    return jnp.stack(outs, axis=0)
+
+
+def mosaic_px_supported(ref_hw: tuple[int, int], dtype) -> bool:
+    """Static eligibility of the streamed px path."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return dtype == jnp.bfloat16 and ref_hw[0] % RB == 0
+
+
+# ---------------------------------------------------------------------------
+# model-level dispatch (mirrors ops.wide_sweep.cost_volume_wide)
+# ---------------------------------------------------------------------------
+
+def mosaic_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
+                     c: int, dtype) -> bool:
+    """Static (trace-time) eligibility of the Mosaic sweep path."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return (dtype == jnp.bfloat16
+            and ref_hw[0] % RB == 0
+            and table_bytes(src_hw, c) <= TABLE_VMEM_LIMIT)
+
+
+def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
+                       ref_depths, ref_hw, agg, num_depth,
+                       temp=None) -> jnp.ndarray:
+    """Aggregated cost volume with the Mosaic sweep kernel + exact fallback.
+
+    One runtime lax.cond around the WHOLE aggregation per batch element
+    (the per-view cond materializes branch results — see
+    ops.wide_sweep.cost_volume_wide): span <= 1 -> KY=2 kernel,
+    span <= 3 -> KY=4 kernel, else the exact XLA gather.
+
+    Args:
+      feats: [B, N, h, w, C] bf16 view features.
+      proj: [B, N, 4, 4] projection matrices at feature resolution.
+      src_idx: source view indices; reference_frame: ref view index.
+      ref_depths: [B, D] hypothesis depths.
+      ref_hw: (H, W) reference grid (H % 8 == 0).
+      agg: "variance" | "softmin"; temp: softmin temperature param.
+    Returns:
+      [B, D, H, W, C] cost volume (feature dtype).
+    """
+    from .plane_sweep import plane_sweep_warp
+    from .volumes import softmin_cost_volume, variance_cost_volume
+
+    b = feats.shape[0]
+    H, W = ref_hw
+    outs = []
+    for bb in range(b):
+        fb = feats[bb]                       # [N, h, w, C]
+        pb = proj[bb]
+        db = ref_depths[bb]
+        rp = pb[reference_frame]
+
+        planes = []
+        span_all = None
+        for i in src_idx:
+            rxyz, trans = rot_planes(pb[i], rp, ref_hw)
+            yb, span = sweep_spans(rxyz, trans, db, fb.shape[1:3])
+            planes.append((i, rxyz, trans, yb))
+            span_all = span if span_all is None else jnp.maximum(span_all,
+                                                                 span)
+
+        def kernel_branch(KY):
+            def fn():
+                # warp in kernel layout [D, H, C, W]; aggregate in-layout;
+                # ONE final transpose to [D, H, W, C] (the volume gets
+                # materialized at the model's layout fence anyway)
+                ref_chw = jnp.transpose(fb[reference_frame],
+                                        (0, 2, 1))[None]   # [1, H, C, W]
+                ref_v = ref_chw.astype(jnp.float32)
+                n_views = len(src_idx) + 1
+                vol_sum = None
+                vol_sq = None
+                sum_exp = None
+                sum_val = None
+                for i, rxyz, trans, yb in planes:
+                    warped = mosaic_sweep_warp(
+                        fb[i], rxyz, trans, db, yb,
+                        KY=KY).astype(jnp.float32)          # [D, H, C, W]
+                    if agg == "variance":
+                        sq = warped ** 2
+                        vol_sum = warped if vol_sum is None else vol_sum + warped
+                        vol_sq = sq if vol_sq is None else vol_sq + sq
+                    else:
+                        diff = (ref_v - warped) ** 2        # [D, H, C, W]
+                        e = jnp.exp(-temp * jnp.sum(diff, axis=2,
+                                                    keepdims=True))
+                        sum_exp = e if sum_exp is None else sum_exp + e
+                        cont = e * diff
+                        sum_val = cont if sum_val is None else sum_val + cont
+                if agg == "variance":
+                    vol_sum = vol_sum + ref_v
+                    vol_sq = vol_sq + ref_v ** 2
+                    cv = vol_sq / n_views - (vol_sum / n_views) ** 2
+                else:
+                    cv = sum_val / (sum_exp + 1e-6)
+                cv = cv.astype(feats.dtype)                 # [D, H, C, W]
+                return jnp.transpose(cv, (0, 1, 3, 2))      # [D, H, W, C]
+            return fn
+
+        def gather_branch():
+            fns = [(lambda i=i: plane_sweep_warp(
+                fb[None, i], pb[None, i], rp[None], db[None], ref_hw))
+                for i in src_idx]
+            if agg == "variance":
+                cv = variance_cost_volume(fb[None, reference_frame],
+                                          warp_fns=fns, num_depth=num_depth)
+            else:
+                cv = softmin_cost_volume(fb[None, reference_frame],
+                                         warp_fns=fns, temperature=temp)
+            return cv[0]
+
+        branch = jax.lax.cond(
+            span_all <= 1,
+            kernel_branch(2),
+            lambda: jax.lax.cond(span_all <= 3, kernel_branch(4),
+                                 gather_branch))
+        outs.append(branch)
+    return jnp.stack(outs, axis=0)
