@@ -156,3 +156,44 @@ def test_view_parallel_data_sharding_averages_gradients():
         losses.append(float(m["train_loss"]))
     np.testing.assert_allclose(float(m_mixed["train_loss"]),
                                np.mean(losses), rtol=2e-4)
+
+
+def test_vis_mvsnet_pair_and_slab_sharding_matches_unsharded():
+    """Metamorphic: Vis-MVSNet with source pairs sharded over `view` and
+    cost-volume depth slabs over `hyp` equals the unsharded forward. The
+    stacked per-pair branch (SingleStage eval path) is an associative
+    weighted fusion (model_cas.py:354-394), so SPMD inserts the cross-pair
+    psum; the per-pair Reg 3D convs partition over depth with halo
+    exchange."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wildmvs.dist.mesh import make_mesh
+    from wildmvs.models import build_model
+
+    rng = np.random.default_rng(5)
+    b, n, h, w = 1, 3, 32, 64
+    imgs = jnp.array(rng.random((b, n, h, w, 3)).astype(np.float32))
+    K = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32)
+    K = jnp.array(np.tile(K, (b, n, 1, 1)))
+    R = jnp.array(np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1)))
+    t = np.zeros((b, n, 3, 1), np.float32)
+    for i in range(n):
+        t[:, i, 0, 0] = 0.05 * i
+    t = jnp.array(t)
+    dmin = jnp.full((b, n), 2.0)
+    dmax = jnp.full((b, n), 6.0)
+    args = (imgs, K, R, t, dmin, dmax)
+
+    kw = dict(depth_nums=(8, 8, 8), interval_scales=(4.0, 2.0, 1.0))
+    m_ref = build_model("vis_mvsnet", **kw)
+    v = m_ref.init(jax.random.PRNGKey(0), *args, train=False)
+    d_ref = m_ref.apply(v, *args, train=False)["depth"]
+
+    mesh = make_mesh(data=1, view=2, hyp=4, devices=jax.devices())
+    m_sh = build_model("vis_mvsnet", view_axis="view", hyp_axis="hyp", **kw)
+    with jax.set_mesh(mesh):
+        d_sh = jax.jit(lambda v, a: m_sh.apply(v, *a, train=False)["depth"]
+                       )(v, args)
+        d_sh = jax.device_get(d_sh)
+    assert float(jnp.abs(d_ref - d_sh).max()) < 1e-4

@@ -93,14 +93,59 @@ class UncertNet(nn.Module):
         return TorchConv(1, 3, 1, 1, dtype=self.dtype, name="head0")(out)
 
 
+def _active_axis(axis):
+    """True when `axis` names an axis of the ambient abstract mesh."""
+    if axis is None:
+        return False
+    from jax.sharding import get_abstract_mesh
+    m = get_abstract_mesh()
+    return m is not None and axis in getattr(m, "axis_names", ())
+
+
 class SingleStage(nn.Module):
     """One cascade stage with per-pair visibility fusion.
     Parity: model_cas.py:166-420 — all 5 fusion modes
-    (soft / hard / average / uwta / maxpool); 'soft' is the repo default."""
+    (soft / hard / average / uwta / maxpool); 'soft' is the repo default.
+
+    TPU-first: at eval the per-pair branch (warp -> groupwise correlation ->
+    Reg -> RegPair -> UncertNet) runs STACKED over source pairs via nn.vmap
+    with broadcast parameters — the pair fusion (model_cas.py:354-394) is an
+    associative weighted sum, so the stacked axis shards over a mesh `view`
+    axis (SPMD inserts the cross-pair psum) and the cost volumes' depth axis
+    shards over `hyp` (the SURVEY long-axis parallelism). Train keeps the
+    reference's sequential per-pair calls for BN batch-stat parity."""
     mode: str = "soft"
+    view_axis: str | None = None
+    hyp_axis: str | None = None
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.reg = Reg(dtype=self.dtype, name="reg")
+        self.reg_pair = TorchConv(1, 3, 1, 1, dtype=self.dtype,
+                                  name="reg_pair")
+        self.uncert_net = UncertNet(dtype=self.dtype, name="uncert_net")
+        self.reg_fuse = RegFuse(dtype=self.dtype, name="reg_fuse")
+
+    def _pair(self, ref_vol, src_feat, K0, R0, t0, Ks, Rs, ts,
+              depth_num, depth_start, depth_interval, hw, train):
+        """One source pair: warp -> correlation -> reg -> score -> uncert."""
+        warped = homography_sweep_warp(
+            src_feat, K0, R0, t0, Ks, Rs, ts,
+            depth_num, depth_start, depth_interval, hw)
+        cost = groupwise_correlation(
+            jnp.broadcast_to(ref_vol, warped.shape), warped, 8)
+        if _active_axis(self.hyp_axis):
+            from jax.sharding import PartitionSpec as P
+            cost = jax.lax.with_sharding_constraint(
+                cost, P(None, self.hyp_axis))
+        interm = self.reg(cost, train)                 # [B, D, H, W, 8]
+        score = self.reg_pair(interm)[..., 0]          # [B, D, H, W]
+        prob, est_class = soft_argmin(score)
+        est_depth = est_class * depth_interval[:, 0] + depth_start[:, 0]
+        ent = entropy(prob, axis=1, keepdims=False)[:, :, :, None]
+        uncert = self.uncert_net(ent, train)[..., 0]   # [B, H, W]
+        return interm, est_depth, uncert
+
     def __call__(self, ref_feat, srcs_feat, cams, depth_num: int,
                  depth_start, depth_interval, s_scale: int,
                  train: bool = False):
@@ -112,65 +157,103 @@ class SingleStage(nn.Module):
         R, t = cams["R"], cams["t"]
         b, h, w, c = ref_feat.shape
         n_src = len(srcs_feat)
-
-        reg = Reg(dtype=self.dtype, name="reg")
-        reg_pair = TorchConv(1, 3, 1, 1, dtype=self.dtype, name="reg_pair")
-        uncert_net = UncertNet(dtype=self.dtype, name="uncert_net")
-
-        pair_results = []
-        weight_sum = jnp.zeros((b, 1, h, w, 1), ref_feat.dtype)
-        fused = jnp.zeros((b, depth_num, h, w, 8), ref_feat.dtype)
-        min_weight = None
         ref_vol = ref_feat[:, None]  # [B, 1, H, W, C]
 
-        for i in range(n_src):
-            warped = homography_sweep_warp(
-                srcs_feat[i], K[:, 0], R[:, 0], t[:, 0],
-                K[:, i + 1], R[:, i + 1], t[:, i + 1],
-                depth_num, depth_start, depth_interval, (h, w))
-            cost = groupwise_correlation(
-                jnp.broadcast_to(ref_vol, warped.shape), warped, 8)
-            interm = reg(cost, train)                      # [B, D, H, W, 8]
-            score = reg_pair(interm)[..., 0]               # [B, D, H, W]
-            prob, est_class = soft_argmin(score)
-            # est_class [B,H,W]; interval [B,1,1,1] and start [B,1,*,*]
-            # broadcast (per-pixel slab in stages 2-3)
-            est_depth = est_class * depth_interval[:, 0] + depth_start[:, 0]
-            ent = entropy(prob, axis=1, keepdims=False)[:, :, :, None]
-            uncert = uncert_net(ent, train)[..., 0]        # [B, H, W]
-            pair_results.append((est_depth, (uncert,)))
+        uniform = all(s.shape == srcs_feat[0].shape for s in srcs_feat)
+        if not train and uniform:
+            # stacked pairs: vmap with broadcast params (eval-only; BN
+            # statistics are frozen so this is bit-identical math to the
+            # loop, and the stacked axis is shardable over `view`)
+            srcs = jnp.stack(srcs_feat, 0)             # [S, B, h, w, C]
+            Ks = jnp.swapaxes(K[:, 1:], 0, 1)          # [S, B, 3, 3]
+            Rs = jnp.swapaxes(R[:, 1:], 0, 1)
+            ts = jnp.swapaxes(t[:, 1:], 0, 1)
+            if _active_axis(self.view_axis):
+                from jax.sharding import PartitionSpec as P
+                srcs = jax.lax.with_sharding_constraint(
+                    srcs, P(self.view_axis))
 
-            # per-pair volume fusion — all 5 reference modes
-            # (model_cas.py:354-394); 'soft' is the default everywhere
+            vpair = nn.vmap(
+                SingleStage._pair,
+                in_axes=(None, 0, None, None, None, 0, 0, 0,
+                         None, None, None, None, None),
+                out_axes=0,
+                variable_axes={"params": None, "batch_stats": None},
+                split_rngs={"params": False})
+            interm_s, est_s, unc_s = vpair(
+                self, ref_vol, srcs, K[:, 0], R[:, 0], t[:, 0], Ks, Rs, ts,
+                depth_num, depth_start, depth_interval, (h, w), train)
+            pair_results = [(est_s[i], (unc_s[i],)) for i in range(n_src)]
+
             if self.mode == "soft":
-                weight = jnp.exp(-uncert)[:, None, :, :, None]  # [B,1,H,W,1]
-                weight_sum = weight_sum + weight
-                fused = fused + interm * weight
+                weight = jnp.exp(-unc_s)[:, :, None, :, :, None]
+                weight_sum = jnp.sum(weight, 0)
+                fused = jnp.sum(interm_s * weight, 0) / weight_sum
             elif self.mode == "hard":
-                weight = (uncert < 0).astype(interm.dtype)[:, None, :, :, None]                     + 1e-4
-                weight_sum = weight_sum + weight
-                fused = fused + interm * weight
+                weight = (unc_s < 0).astype(interm_s.dtype)[
+                    :, :, None, :, :, None] + 1e-4
+                fused = jnp.sum(interm_s * weight, 0) / jnp.sum(weight, 0)
             elif self.mode == "average":
-                fused = fused + interm
+                fused = jnp.mean(interm_s, 0)
             elif self.mode == "uwta":
-                weight = uncert[:, None, :, :, None]
-                if min_weight is None:
-                    min_weight = weight
-                    mask = jnp.ones_like(weight)
-                else:
-                    mask = (weight < min_weight).astype(interm.dtype)
-                    min_weight = weight * mask + min_weight * (1 - mask)
-                fused = interm * mask + fused * (1 - mask)
+                # sequential strict-< min keeps the EARLIEST minimum, which
+                # is exactly argmin's first-occurrence tie rule
+                sel = jnp.argmin(unc_s[:, :, None, :, :, None], axis=0)
+                fused = jnp.take_along_axis(interm_s, sel[None], axis=0)[0]
             elif self.mode == "maxpool":
-                fused = interm if i == 0 else jnp.maximum(fused, interm)
+                fused = jnp.max(interm_s, 0)
             else:
                 raise NotImplementedError(self.mode)
+        else:
+            pair_results = []
+            weight_sum = jnp.zeros((b, 1, h, w, 1), ref_feat.dtype)
+            fused = jnp.zeros((b, depth_num, h, w, 8), ref_feat.dtype)
+            min_weight = None
 
-        if self.mode in ("soft", "hard"):
-            fused = fused / weight_sum
-        elif self.mode == "average":
-            fused = fused / n_src
-        score = RegFuse(dtype=self.dtype, name="reg_fuse")(fused, train)[..., 0]
+            for i in range(n_src):
+                interm, est_depth, uncert = self._pair(
+                    ref_vol, srcs_feat[i], K[:, 0], R[:, 0], t[:, 0],
+                    K[:, i + 1], R[:, i + 1], t[:, i + 1],
+                    depth_num, depth_start, depth_interval, (h, w), train)
+                pair_results.append((est_depth, (uncert,)))
+
+                # per-pair volume fusion — all 5 reference modes
+                # (model_cas.py:354-394); 'soft' is the default everywhere
+                if self.mode == "soft":
+                    weight = jnp.exp(-uncert)[:, None, :, :, None]
+                    weight_sum = weight_sum + weight
+                    fused = fused + interm * weight
+                elif self.mode == "hard":
+                    weight = (uncert < 0).astype(interm.dtype)[
+                        :, None, :, :, None] + 1e-4
+                    weight_sum = weight_sum + weight
+                    fused = fused + interm * weight
+                elif self.mode == "average":
+                    fused = fused + interm
+                elif self.mode == "uwta":
+                    weight = uncert[:, None, :, :, None]
+                    if min_weight is None:
+                        min_weight = weight
+                        mask = jnp.ones_like(weight)
+                    else:
+                        mask = (weight < min_weight).astype(interm.dtype)
+                        min_weight = weight * mask + min_weight * (1 - mask)
+                    fused = interm * mask + fused * (1 - mask)
+                elif self.mode == "maxpool":
+                    fused = interm if i == 0 else jnp.maximum(fused, interm)
+                else:
+                    raise NotImplementedError(self.mode)
+
+            if self.mode in ("soft", "hard"):
+                fused = fused / weight_sum
+            elif self.mode == "average":
+                fused = fused / n_src
+
+        if _active_axis(self.hyp_axis):
+            from jax.sharding import PartitionSpec as P
+            fused = jax.lax.with_sharding_constraint(
+                fused, P(None, self.hyp_axis))
+        score = self.reg_fuse(fused, train)[..., 0]
         prob, est_class, prob_map = soft_argmin(score, window=2)
         est_depth = est_class * depth_interval[:, 0] + depth_start[:, 0]
         return est_depth, prob_map, pair_results
@@ -187,6 +270,11 @@ class VisMVSNet(nn.Module):
     # per-view featurization at train (frontend.py:59-62 calls feat_ext per
     # view -> per-view BN stats); batched_bn featurizes all views at once
     batched_bn: bool = False
+    # mesh axes for eval sharding: source pairs over `view_axis` (the
+    # stacked per-pair branch; fusion is an associative weighted sum) and
+    # cost-volume depth slabs over `hyp_axis` (see SingleStage)
+    view_axis: str | None = None
+    hyp_axis: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -232,7 +320,9 @@ class VisMVSNet(nn.Module):
 
         # ---- stage 1 (1/8) ----
         ref1, srcs1 = stage_feats(0)
-        est1, prob1, pairs1 = SingleStage(mode=self.mode, dtype=self.dtype, name="stage1")(
+        est1, prob1, pairs1 = SingleStage(mode=self.mode, view_axis=self.view_axis,
+                                          hyp_axis=self.hyp_axis,
+                                          dtype=self.dtype, name="stage1")(
             ref1, srcs1, cams, depth_nums[0], d_start0,
             d_interval * interval_scales[0], 8, train)
         prob1_up = resize_bilinear(prob1, (prob1.shape[1] * 4,
@@ -244,7 +334,9 @@ class VisMVSNet(nn.Module):
         # NOTE: centering uses self.interval_scales (frontend.py:76-78 quirk)
         d_start2 = (up1 - depth_nums[1] * depth_interval[:, None, None]
                     * self.interval_scales[1] / 2.0)[:, None]  # [B,1,H,W]
-        est2, prob2, pairs2 = SingleStage(mode=self.mode, dtype=self.dtype, name="stage2")(
+        est2, prob2, pairs2 = SingleStage(mode=self.mode, view_axis=self.view_axis,
+                                          hyp_axis=self.hyp_axis,
+                                          dtype=self.dtype, name="stage2")(
             ref2, srcs2, cams, depth_nums[1], d_start2,
             d_interval * interval_scales[1], 4, train)
         prob2_up = resize_bilinear(prob2, (prob2.shape[1] * 2,
@@ -255,7 +347,9 @@ class VisMVSNet(nn.Module):
         up2 = resize_bilinear(jax.lax.stop_gradient(est2), ref3.shape[1:3])
         d_start3 = (up2 - depth_nums[2] * depth_interval[:, None, None]
                     * self.interval_scales[2] / 2.0)[:, None]
-        est3, prob3, pairs3 = SingleStage(mode=self.mode, dtype=self.dtype, name="stage3")(
+        est3, prob3, pairs3 = SingleStage(mode=self.mode, view_axis=self.view_axis,
+                                          hyp_axis=self.hyp_axis,
+                                          dtype=self.dtype, name="stage3")(
             ref3, srcs3, cams, depth_nums[2], d_start3,
             d_interval * interval_scales[2], 2, train)
 
