@@ -69,25 +69,53 @@ class FeaturePyramidNet(nn.Module):
 
 class CVPCostRegNet(nn.Module):
     """Shared 3D regularizer. Parity: net.py:50-85 (single stride-2 level,
-    stride-1 transposed conv back up)."""
+    stride-1 transposed conv back up).
+
+    At eval with few hypotheses (the refinement levels: D=8, C=16), the
+    volume runs DEPTH-PACKED: depth folded into channels ([B, H, W, D*C])
+    and every 3x3x3 conv executed as one dense 3x3 conv2d with a
+    block-banded kernel (nn/blocks.py TorchConv.packed_depth). Same math
+    and parameters; the MXU sees 128/256-channel matmuls instead of the
+    16-channel ones that measured ~3% utilization — the dominant CVP eval
+    cost (61 ms at 512x640, BASELINE.md round 2)."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0")(x, train)
-        c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0a")(c0, train)
-        x1 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv1")(c0, train)
-        x1 = ConvBnReLU(32, dtype=self.dtype, name="conv2")(x1, train)
-        c2 = ConvBnReLU(32, dtype=self.dtype, name="conv2a")(x1, train)
-        x2 = ConvBnReLU(64, dtype=self.dtype, name="conv3")(c2, train)
-        x2 = ConvBnReLU(64, dtype=self.dtype, name="conv4")(x2, train)
-        c4 = ConvBnReLU(64, dtype=self.dtype, name="conv4a")(x2, train)
+        b, d, h, w, c = x.shape
+        packed = (not train) and d % 2 == 0 and d * c <= 256
+        if packed:
+            x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+            pd1, pd2 = d, d // 2
+        else:
+            pd1 = pd2 = None
+        c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0")(
+            x, train, packed_depth=pd1)
+        c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0a")(
+            c0, train, packed_depth=pd1)
+        x1 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv1")(
+            c0, train, packed_depth=pd1)
+        x1 = ConvBnReLU(32, dtype=self.dtype, name="conv2")(
+            x1, train, packed_depth=pd2)
+        c2 = ConvBnReLU(32, dtype=self.dtype, name="conv2a")(
+            x1, train, packed_depth=pd2)
+        x2 = ConvBnReLU(64, dtype=self.dtype, name="conv3")(
+            c2, train, packed_depth=pd2)
+        x2 = ConvBnReLU(64, dtype=self.dtype, name="conv4")(
+            x2, train, packed_depth=pd2)
+        c4 = ConvBnReLU(64, dtype=self.dtype, name="conv4a")(
+            x2, train, packed_depth=pd2)
         c5 = c2 + ConvTransposeBnReLU(32, 3, 1, 1, 0, dtype=self.dtype,
-                                      name="conv5")(c4, train)
+                                      name="conv5")(c4, train,
+                                                    packed_depth=pd2)
         c6 = c0 + ConvTransposeBnReLU(16, 3, 2, 1, 1, dtype=self.dtype,
-                                      name="conv6")(c5, train)
-        return TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
-                         name="prob0")(c6)[..., 0]
+                                      name="conv6")(c5, train,
+                                                    packed_depth=pd2)
+        out = TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                        name="prob0")(c6, packed_depth=pd1)
+        if packed:
+            return jnp.transpose(out, (0, 3, 1, 2))       # [B, D, H, W]
+        return out[..., 0]
 
 
 def cal_depth_hypo(ref_depth, K_ref, K_src, R_ref, t_ref, R_src, t_src,

@@ -62,12 +62,61 @@ def _conv3d_via_2d(x, kernel, strides, padding):
     return out
 
 
+def _packed_out_depth(D, kd, sd, pd):
+    """Output depth of a packed conv3d (see TorchConv.packed_depth)."""
+    return (D + 2 * pd - kd) // sd + 1
+
+
+def _packed_out_depth_transpose(D, kd, sd, pd, opd):
+    return (D - 1) * sd - 2 * pd + kd + opd
+
+
+def _pack_kernel3d(kernel, D, sd, pd):
+    """3D kernel [kd, kh, kw, Ci, Co] -> block-banded 2D kernel
+    [kh, kw, D*Ci, Dout*Co] for the depth-packed conv (see TorchConv)."""
+    kd, kh, kw, ci, co = kernel.shape
+    dout = (D + 2 * pd - kd) // sd + 1
+    w2 = jnp.zeros((kh, kw, D * ci, dout * co), kernel.dtype)
+    for do in range(dout):
+        for kdi in range(kd):
+            d = do * sd - pd + kdi
+            if 0 <= d < D:
+                w2 = w2.at[:, :, d * ci:(d + 1) * ci,
+                           do * co:(do + 1) * co].set(kernel[kdi])
+    return w2, dout
+
+
+def _pack_kernel3d_transpose(kernel, D, sd, pd, opd):
+    """Transposed-conv analogue of `_pack_kernel3d`: input slab d feeds
+    output slab d*sd + kd' - pd."""
+    kd, kh, kw, ci, co = kernel.shape
+    dout = (D - 1) * sd - 2 * pd + kd + opd
+    w2 = jnp.zeros((kh, kw, D * ci, dout * co), kernel.dtype)
+    for d in range(D):
+        for kdi in range(kd):
+            do = d * sd + kdi - pd
+            if 0 <= do < dout:
+                w2 = w2.at[:, :, d * ci:(d + 1) * ci,
+                           do * co:(do + 1) * co].set(kernel[kdi])
+    return w2, dout
+
+
 class TorchConv(nn.Module):
     """Conv with torch-style explicit symmetric padding.
 
     kernel layout [*k, in, out]; bias optional (reference convs are bias-free
     except CVP's LeakyReLU convs and the probability heads).
-    """
+
+    Depth-packed mode (``packed_depth=D``): the input is a 3D volume with
+    its depth FOLDED INTO CHANNELS, [B, H, W, D*Ci] (d-major). The 3x3x3
+    conv runs as ONE dense 3x3 conv2d with a block-banded [kh, kw, D*Ci,
+    Dout*Co] kernel built from the same [kd, kh, kw, Ci, Co] parameter —
+    identical math (the off-band blocks are zero), identical param shapes/
+    paths, but the MXU sees D*Ci>=128 contraction/output dims instead of
+    the 16-channel matmuls that run at ~3% utilization (the measured CVP
+    regnet bottleneck, BASELINE.md round 2). Dense-vs-banded FLOP overhead
+    is D/3 per conv, a bargain for small D. Returns packed [B, H', W',
+    Dout*Co]."""
     features: int
     kernel_size: Sequence[int] | int = 3
     strides: Sequence[int] | int = 1
@@ -76,11 +125,27 @@ class TorchConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        nd = x.ndim - 2
+    def __call__(self, x, packed_depth: int | None = None):
+        nd = 3 if packed_depth is not None else x.ndim - 2
         k = _tup(self.kernel_size, nd)
         s = _tup(self.strides, nd)
         p = _tup(self.padding, nd)
+        if packed_depth is not None:
+            D = packed_depth
+            ci = x.shape[-1] // D
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                k + (ci, self.features), jnp.float32)
+            w2, dout = _pack_kernel3d(kernel.astype(self.dtype), D, s[0], p[0])
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w2, window_strides=s[1:],
+                padding=[(p[1], p[1]), (p[2], p[2])], dimension_numbers=dn)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + jnp.tile(bias.astype(self.dtype), dout)
+            return y
         if nd == 3:
             # XLA's conv3d runs ~8x below its conv2d on these shapes (v5e);
             # decompose over depth taps into batched 2D convs + shifted adds
@@ -161,16 +226,35 @@ class TorchConvTranspose(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        nd = x.ndim - 2
+    def __call__(self, x, packed_depth: int | None = None):
+        nd = 3 if packed_depth is not None else x.ndim - 2
         k = _tup(self.kernel_size, nd)
         s = _tup(self.strides, nd)
         p = _tup(self.padding, nd)
         op = _tup(self.output_padding, nd)
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] if packed_depth is None \
+            else x.shape[-1] // packed_depth
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), k + (in_ch, self.features),
             jnp.float32)
+        if packed_depth is not None:
+            # depth-packed transposed conv3d (see TorchConv.packed_depth)
+            D = packed_depth
+            w2, dout = _pack_kernel3d_transpose(
+                kernel.astype(self.dtype), D, s[0], p[0], op[0])
+            w2 = jnp.flip(w2, axis=(0, 1))
+            pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i])
+                    for i in (1, 2)]
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w2.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), w2, window_strides=(1, 1),
+                padding=pads, lhs_dilation=s[1:], dimension_numbers=dn)
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + jnp.tile(bias.astype(self.dtype), dout)
+            return y
         if nd == 3:
             y = _conv3d_transpose_via_2d(
                 x.astype(self.dtype), kernel.astype(self.dtype), s, p, op)
@@ -201,9 +285,17 @@ class BatchNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+    def __call__(self, x, train: bool, packed_depth: int | None = None):
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                          epsilon=1e-5, dtype=self.dtype, name="bn")
+        if packed_depth is None:
+            return bn(x)
+        # depth-packed input [B, H, W, D*C] (see TorchConv): view as
+        # [B, H, W, D, C] so statistics/params stay per-C — a free
+        # minor-dim reshape, identical math and parameter shapes
+        shp = x.shape
+        xv = x.reshape(shp[:-1] + (packed_depth, shp[-1] // packed_depth))
+        return bn(xv).reshape(shp)
 
 
 class ConvBnReLU(nn.Module):
@@ -217,10 +309,17 @@ class ConvBnReLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 packed_depth: int | None = None):
         x = TorchConv(self.features, self.kernel_size, self.strides,
-                      self.padding, dtype=self.dtype, name="conv")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+                      self.padding, dtype=self.dtype, name="conv")(
+            x, packed_depth=packed_depth)
+        if packed_depth is not None:
+            packed_depth = _packed_out_depth(
+                packed_depth, _tup(self.kernel_size, 3)[0],
+                _tup(self.strides, 3)[0], _tup(self.padding, 3)[0])
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train,
+                                                   packed_depth=packed_depth)
         return nn.relu(x) if self.relu else x
 
 
@@ -235,11 +334,19 @@ class ConvTransposeBnReLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 packed_depth: int | None = None):
         x = TorchConvTranspose(self.features, self.kernel_size, self.strides,
                                self.padding, self.output_padding,
-                               dtype=self.dtype, name="deconv")(x)
-        x = BatchNorm(dtype=self.dtype, name="bn")(x, train)
+                               dtype=self.dtype, name="deconv")(
+            x, packed_depth=packed_depth)
+        if packed_depth is not None:
+            packed_depth = _packed_out_depth_transpose(
+                packed_depth, _tup(self.kernel_size, 3)[0],
+                _tup(self.strides, 3)[0], _tup(self.padding, 3)[0],
+                _tup(self.output_padding, 3)[0])
+        x = BatchNorm(dtype=self.dtype, name="bn")(x, train,
+                                                   packed_depth=packed_depth)
         return nn.relu(x) if self.relu else x
 
 
