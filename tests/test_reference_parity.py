@@ -728,3 +728,106 @@ def test_images_txt_zero_point_image_parity(ref_path, tmp_path):
     assert set(theirs) == {1, 2}
     assert theirs[1].xys.shape[0] == 0
     np.testing.assert_array_equal(theirs[2].point3D_ids, [7, -1])
+
+
+def test_fusion_prep_parity(ref_path, tmp_path):
+    """The reference's full pre-fusion chain — filtering stage
+    (evaluation/filtering.py) then fusibile workspace prep
+    (evaluation/fusibile.py mvsnet_to_gipuma, everything up to the CUDA
+    binary call) — and our native pipeline produce the same fusion inputs
+    on the same mini scene: probability masking exact, geometric masks
+    equal up to <0.2% threshold-boundary pixels, and the invalidated
+    depthmaps (ref: disp.dmb; ours: the fusion stage's masked input)
+    matching wherever the masks agree."""
+    import argparse
+    import sys
+    import types
+
+    from evaluation import filtering as ref_filtering
+    from wildmvs.data.codecs import read_dmb
+    from wildmvs.data.synthetic import SyntheticSceneDataset
+    from wildmvs.pipeline.depthmaps import get_mask_invalid
+    from wildmvs.pipeline.reconstruction import run_pipeline
+
+    # a working ToPILImage (the shared torchvision stub's placeholder
+    # classes are not callable converters; mvsnet_to_gipuma saves images)
+    class _ToPILImage:
+        def __call__(self, t):
+            from PIL import Image
+            a = np.asarray(t)
+            a = (np.clip(a.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+            return Image.fromarray(a)
+
+    sys.modules["torchvision.transforms"].ToPILImage = _ToPILImage
+    if not hasattr(np, "float"):  # fusibile.py uses np.float on numpy>=2
+        np.float = float
+    from evaluation import fusibile as ref_fusibile
+
+    scene = SyntheticSceneDataset(num_views=4, height=64, width=96, seed=3)
+    names = [scene[i]["filename"].replace("/", "_") for i in range(4)]
+
+    # "model" depthmaps: noisy GT + a probability map with a low-confidence
+    # block so the prob mask actually bites
+    rng = np.random.default_rng(0)
+    depth_npzs = {}
+    for i, nme in enumerate(names):
+        noisy = scene.depths[i] * (1 + 0.004 * rng.standard_normal(
+            scene.depths[i].shape)).astype(np.float32)
+        prob = np.ones_like(noisy)
+        prob[8 * i:8 * i + 10, 20:40] = 0.1
+        depth_npzs[nme] = dict(depthmap=noisy, probability=prob)
+
+    ref_depth_dir = tmp_path / "ref" / "IntRes" / "depthmaps" / "m_4" / "scene"
+    ref_depth_dir.mkdir(parents=True)
+    for nme, d in depth_npzs.items():
+        np.savez_compressed(ref_depth_dir / f"{nme}_out.npz", **d)
+
+    args = argparse.Namespace(
+        data_path=str(tmp_path / "ref"), scene="scene", model="m", nviews=4,
+        upsample=False, downscale=1, max_reproj_error=1.0,
+        depth_threshold=0.01, min_tri_angle=1.0, num_consistent=3,
+        debug=False, filter=True, prob_threshold=0.8, colmap=False)
+
+    def batches():
+        for i in range(len(scene)):
+            s = scene[i]
+            yield {"filename": [names[i]],
+                   "src_filenames": [(x.replace("/", "_"),)
+                                     for x in s["src_filenames"]],
+                   "imgs": torch.from_numpy(s["imgs"]).permute(
+                       0, 3, 1, 2).unsqueeze(0),
+                   "K": torch.from_numpy(s["K"]).unsqueeze(0),
+                   "R": torch.from_numpy(s["R"]).unsqueeze(0),
+                   "t": torch.from_numpy(s["t"]).unsqueeze(0)}
+
+    ref_filtering.run(list(batches()), args)
+    gipuma_dir = tmp_path / "ref" / "gipuma"
+    gipuma_dir.mkdir()
+    ref_fusibile.mvsnet_to_gipuma(args, gipuma_dir, list(batches()))
+
+    # ---- our native pipeline on the same inputs ----
+    ours = tmp_path / "ours"
+    our_depth_dir = ours / "IntRes" / "depthmaps" / "scene"
+    our_depth_dir.mkdir(parents=True)
+    for nme, d in depth_npzs.items():
+        np.savez_compressed(our_depth_dir / f"{nme}_out.npz", **d)
+    run_pipeline(scene, ours, architecture="oracle", scene="scene",
+                 prob_threshold=0.8, max_reproj_error=1.0,
+                 depth_threshold=0.01, min_tri_angle=1.0, num_consistent=3)
+
+    for i, nme in enumerate(names):
+        ref_masked = read_dmb(gipuma_dir / f"2333__{nme}" / "disp.dmb")
+        geo = np.load(ours / "IntRes" / "geometric_filtering" / "scene"
+                      / f"{nme}_out.npz")["geo_mask"]
+        invalid = get_mask_invalid(depth_npzs[nme]["probability"], 0.8, geo)
+        our_masked = depth_npzs[nme]["depthmap"].copy()
+        our_masked[invalid] = 0.0
+        if ref_masked.ndim == 3:
+            ref_masked = ref_masked[..., 0]
+        # masks may disagree only at <0.2% geometric threshold-boundary
+        # pixels (the filter stage's f32-vs-f64 rounding); wherever they
+        # agree the surviving depths must be bit-identical
+        diff_mask = (ref_masked == 0) != (our_masked == 0)
+        assert diff_mask.mean() < 2e-3, nme
+        agree = ~diff_mask
+        np.testing.assert_array_equal(ref_masked[agree], our_masked[agree])
