@@ -24,7 +24,7 @@ import numpy as np
 
 def write_mini_scene(out_dir, scan: str = "scan1", num_views: int = 5,
                      height: int = 64, width: int = 96, seed: int = 3,
-                     jpg_quality: int = 98):
+                     jpg_quality: int = 98, colmap_sparse: bool = False):
     """Render and write one mini scene; returns the source
     SyntheticSceneDataset (exact GT geometry) for oracle comparisons."""
     import sys
@@ -69,6 +69,17 @@ def write_mini_scene(out_dir, scan: str = "scan1", num_views: int = 5,
                               + [f"{j} {100.0 - k}" for k, j in
                                  enumerate(srcs)]))
     (root / "pair.txt").write_text("\n".join(lines) + "\n")
+
+    if colmap_sparse:
+        # the native known-pose bootstrap (wildmvs/data/matching.py): a
+        # standard COLMAP model under <scan>/sparse, as the in-the-wild
+        # (YFCC-style) ingest expects
+        from wildmvs.data.matching import create_sparse_from_known_poses
+        grays = [scene.imgs[i].mean(-1) for i in range(num_views)]
+        create_sparse_from_known_poses(
+            grays, scene.K, scene.R, scene.t,
+            names=[f"{i:08d}.jpg" for i in range(num_views)],
+            out_dir=root / "sparse")
     return scene
 
 
@@ -80,8 +91,11 @@ def main():
     ap.add_argument("--height", type=int, default=64)
     ap.add_argument("--width", type=int, default=96)
     ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--colmap", action="store_true",
+                    help="also write a native sparse model (<scan>/sparse)")
     a = ap.parse_args()
-    write_mini_scene(a.out, a.scan, a.views, a.height, a.width, a.seed)
+    write_mini_scene(a.out, a.scan, a.views, a.height, a.width, a.seed,
+                     colmap_sparse=a.colmap)
     print(f"wrote {a.scan} ({a.views} views, {a.height}x{a.width}) "
           f"under {a.out}")
 

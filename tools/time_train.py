@@ -6,7 +6,8 @@ train.py defaults) with the chain-scan method.  The backward of the
 plane-sweep warp is a scatter-add over the gathered indices — this tool
 exists to see whether that VJP is a cliff on TPU.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 python tools/time_train.py [arch]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
+    python tools/time_train.py [arch] [dtype] [flags: batched_bn remat]
 """
 import sys
 import time
@@ -25,9 +26,12 @@ def main():
 
     arch = sys.argv[1] if len(sys.argv) > 1 else "mvsnet"
     dtype = sys.argv[2] if len(sys.argv) > 2 else "float32"
+    flags = set(sys.argv[3:])
     config = TrainConfig(architecture=arch, dataset="synthetic",
                          supervised=True, batch_size=1, num_im_train=3,
-                         train_dtype=dtype)
+                         train_dtype=dtype,
+                         batched_bn="batched_bn" in flags,
+                         remat="remat" in flags)
     ds = SyntheticMVSDataset(num_samples=2, num_views=3, height=512,
                              width=640, seed=0)
     batch = collate([ds[0]])
@@ -49,7 +53,8 @@ def main():
         float(metrics["train_loss"])
         best = min(best, time.perf_counter() - t0)
     # per-dispatch RTT (~33 ms x ITERS) is included; report both
-    print(f"{arch} [{dtype}] train step (512x640 D192 N3 B1): "
+    tag = " ".join(sorted(flags)) or "defaults"
+    print(f"{arch} [{dtype}] [{tag}] train step (512x640 D192 N3 B1): "
           f"{best / ITERS * 1e3:.1f} ms/step incl. ~33 ms dispatch RTT")
 
 

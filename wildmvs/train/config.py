@@ -40,6 +40,10 @@ class TrainConfig:
     # rematerialize the forward in the backward (jax.checkpoint): frees
     # cost-volume activations for larger batches/resolutions
     remat: bool = False
+    # featurize all views in ONE batched call at train (faster; train-mode
+    # BN then normalizes across views instead of the reference's per-view
+    # calls — a deliberate deviation, off by default for parity)
+    batched_bn: bool = False
     # model structure overrides (None -> architecture defaults)
     num_depth: int = 192               # mvsnet hypothesis count (model.py:98)
     # mesh axis for depth-hypothesis slab sharding (mvsnet; requires an

@@ -77,6 +77,8 @@ def create_model(config: TrainConfig):
             kwargs["hyp_axis"] = config.hyp_axis
     if config.train_dtype == "bfloat16":
         kwargs["dtype"] = jnp.bfloat16
+    if config.batched_bn:
+        kwargs["batched_bn"] = True  # all architectures expose the field
     return build_model(config.architecture, **kwargs)
 
 
