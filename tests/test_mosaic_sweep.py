@@ -185,3 +185,29 @@ def test_cost_volume_mosaic_dispatch_interpret(monkeypatch):
     a = np.asarray(cv, np.float32)
     b = np.asarray(want, np.float32)
     assert np.abs(a - b).max() < 0.15  # bf16 accumulation differences
+
+
+def test_warp_mosaic_custom_vjp_matches_gather_grad():
+    """plane_sweep_warp_mosaic: forward == gather to bf16 rounding
+    (interpret mode) and gradients == the gather path's exactly (the
+    custom VJP IS the gather path's VJP at the same primals)."""
+    from wildmvs.ops.mosaic_sweep import plane_sweep_warp_mosaic
+
+    H, W, C, D = 16, 40, 8, 6
+    rng = np.random.default_rng(7)
+    src = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+    cot = jnp.asarray(rng.standard_normal((1, D, H, W, C)), jnp.bfloat16)
+
+    out_m, vjp_m = jax.vjp(
+        lambda f: plane_sweep_warp_mosaic(f, src_proj[None], ref_proj[None],
+                                          depths, (H, W), True), src)
+    out_g, vjp_g = jax.vjp(
+        lambda f: plane_sweep_warp(f, src_proj[None], ref_proj[None],
+                                   depths, (H, W)), src)
+    assert np.abs(np.asarray(out_m, np.float32)
+                  - np.asarray(out_g, np.float32)).max() < 0.08
+    gm = np.asarray(vjp_m(cot)[0], np.float32)
+    gg = np.asarray(vjp_g(cot)[0], np.float32)
+    np.testing.assert_allclose(gm, gg, rtol=0, atol=0)

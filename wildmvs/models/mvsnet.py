@@ -157,8 +157,7 @@ class MVSNet(nn.Module):
                           and self.hyp_axis in getattr(m, "axis_names", ()))
         if method == "auto":
             from ..ops.mosaic_sweep import mosaic_supported
-            use = (not train and not ragged and not hyp_active
-                   and feats is not None
+            use = (not ragged and not hyp_active and feats is not None
                    and mosaic_supported(feats.shape[2:4], feats.shape[2:4],
                                         feats.shape[-1], feats.dtype))
             method = "mosaic" if use else "gather"
@@ -166,6 +165,13 @@ class MVSNet(nn.Module):
             method = "gather"  # fast paths assume uniform source sizes
         if method == "pallas" and not train and fh % 8 == 0:
             from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
+        elif method == "mosaic" and train:
+            # training: Mosaic forward, gather-path VJP (custom_vjp) inside
+            # the standard streaming aggregation
+            from ..ops.mosaic_sweep import plane_sweep_warp_mosaic
+
+            def warp_fn(f, sp, rp, dv, hw):
+                return plane_sweep_warp_mosaic(f, sp, rp, dv, hw, False)
         else:
             warp_fn = plane_sweep_warp
 

@@ -580,6 +580,72 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
     return jnp.stack(outs, axis=0)
 
 
+def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
+                      interpret=False):
+    """Per-batch span-cond Mosaic warp -> [B, D, H, W, C] (KY=2 -> KY=4 ->
+    exact gather)."""
+    from .plane_sweep import plane_sweep_warp
+    outs = []
+    for b in range(src_fea.shape[0]):
+        rxyz, trans = rot_planes(src_proj[b], ref_proj[b], ref_hw)
+        yb, span = sweep_spans(rxyz, trans, depth_values[b],
+                               src_fea.shape[1:3])
+
+        def kern(KY, b=b, rxyz=rxyz, trans=trans, yb=yb):
+            def fn():
+                out = mosaic_sweep_warp(src_fea[b], rxyz, trans,
+                                        depth_values[b], yb, KY=KY,
+                                        interpret=interpret)
+                return jnp.transpose(out, (0, 1, 3, 2))   # [D, H, W, C]
+            return fn
+
+        def gather(b=b):
+            return plane_sweep_warp(src_fea[b:b + 1], src_proj[b:b + 1],
+                                    ref_proj[b:b + 1],
+                                    depth_values[b:b + 1],
+                                    ref_hw)[0].astype(src_fea.dtype)
+
+        outs.append(jax.lax.cond(
+            span <= 1, kern(2),
+            lambda: jax.lax.cond(span <= 3, kern(4), gather)))
+    return jnp.stack(outs, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def plane_sweep_warp_mosaic(src_fea, src_proj, ref_proj, depth_values,
+                            ref_hw, interpret=False):
+    """Differentiable drop-in for ops.plane_sweep.plane_sweep_warp.
+
+    Forward: the Mosaic kernel (with the usual runtime exact-gather
+    fallback); backward: the gather path's VJP evaluated at the same
+    primals — the warp is linear in the features, so the cotangent is the
+    exact scatter-add regardless of which forward produced the output (the
+    two forwards differ only by bf16 rounding). This is what lets the bf16
+    TRAINING recipe use the kernel; the model gates it exactly like the
+    eval path (bf16 + TPU + uniform fronto-parallel sweeps)."""
+    return _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values,
+                             ref_hw, interpret)
+
+
+def _warp_mosaic_fwd(src_fea, src_proj, ref_proj, depth_values, ref_hw,
+                     interpret):
+    out = _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values,
+                            ref_hw, interpret)
+    return out, (src_fea, src_proj, ref_proj, depth_values)
+
+
+def _warp_mosaic_bwd(ref_hw, interpret, res, g):
+    from .plane_sweep import plane_sweep_warp
+    src_fea, src_proj, ref_proj, depth_values = res
+    _, vjp = jax.vjp(
+        lambda f, sp, rp, dv: plane_sweep_warp(f, sp, rp, dv, ref_hw),
+        src_fea, src_proj, ref_proj, depth_values)
+    return vjp(g.astype(src_fea.dtype))
+
+
+plane_sweep_warp_mosaic.defvjp(_warp_mosaic_fwd, _warp_mosaic_bwd)
+
+
 def mosaic_px_supported(ref_hw: tuple[int, int], dtype) -> bool:
     """Static eligibility of the streamed px path."""
     try:
