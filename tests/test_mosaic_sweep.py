@@ -109,7 +109,8 @@ def test_corner_table_packing_roundtrip():
 def test_px_kernel_per_pixel_depths_interpret():
     # the streamed-window kernel with [D, H, W] hypothesis maps (the CVP
     # refinement configuration) vs the exact gather
-    from wildmvs.ops.mosaic_sweep import mosaic_sweep_warp_px, sweep_spans_px
+    from wildmvs.ops.mosaic_sweep import (mosaic_sweep_warp_px,
+                                          mvsnet_planes, sweep_spans_px)
     H, W, C, D = 32, 144, 8, 6
     rng = np.random.default_rng(3)
     src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
@@ -121,14 +122,51 @@ def test_px_kernel_per_pixel_depths_interpret():
 
     ref = plane_sweep_warp(src[None].astype(jnp.float32), src_proj[None],
                            ref_proj[None], depths[None], (H, W))[0]
-    rxyz, trans = rot_planes(src_proj, ref_proj, (H, W))
-    plan = sweep_spans_px(rxyz, trans, depths, (H, W))
+    P, Q, sx, sy = mvsnet_planes(src_proj, ref_proj, (H, W))
+    plan = sweep_spans_px(P, Q, depths, (H, W))
     assert int(plan["yspan"]) <= 1 and int(plan["xover"]) <= 0
-    out = mosaic_sweep_warp_px(src, rxyz, trans, depths, plan, KY=2, KR=16,
+    out = mosaic_sweep_warp_px(src, P, Q, depths, plan, KY=2, KR=16,
                                interpret=True)
     out_hw = np.asarray(jnp.transpose(out, (0, 1, 3, 2)), np.float32)
     assert np.abs(out_hw - np.asarray(ref)).max() < 0.08
     assert (np.abs(np.asarray(ref)) > 0).mean() > 0.5
+
+
+def test_vis_homography_volume_mosaic_interpret():
+    """homography_volume_mosaic == homography_sweep_warp (the Vis-MVSNet
+    grid convention: pixel-center grid, size normalization, A - B/d), for
+    both a scalar slab start and a per-pixel re-centered slab."""
+    from wildmvs.ops.mosaic_sweep import homography_volume_mosaic
+    from wildmvs.ops.plane_sweep import homography_sweep_warp
+
+    H, W, C, D = 32, 48, 8, 6
+    rng = np.random.default_rng(9)
+    src = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    yaw = 0.02
+    Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+    K = jnp.asarray(np.array([[60.0, 0, W / 2], [0, 60.0, H / 2],
+                              [0, 0, 1]], np.float32))[None]
+    R0 = jnp.asarray(np.eye(3, dtype=np.float32))[None]
+    Rs = jnp.asarray(Ry)[None]
+    t0 = jnp.zeros((1, 3, 1))
+    ts = jnp.asarray(np.array([[[2.0], [0.5], [0.0]]], np.float32))
+
+    for start in (jnp.full((1, 1, 1, 1), 425.0),
+                  jnp.asarray(500.0 + 30.0 * np.sin(
+                      np.linspace(0, 3, H * W)).reshape(1, 1, H, W)
+                      .astype(np.float32))):
+        interval = jnp.full((1, 1, 1, 1), 40.0)
+        want = homography_sweep_warp(src.astype(jnp.float32), K, R0, t0,
+                                     K, Rs, ts, D, start, interval, (H, W))
+        got = homography_volume_mosaic(src, K, R0, t0, K, Rs, ts, D,
+                                       start, interval, (H, W),
+                                       interpret=True)
+        a = np.asarray(got, np.float32)
+        b = np.asarray(want, np.float32)
+        assert a.shape == b.shape == (1, D, H, W, C)
+        assert np.abs(a - b).max() < 0.08
+        assert (np.abs(b) > 0).mean() > 0.3
 
 
 def test_variance_volume_mosaic_px_matches_gather():

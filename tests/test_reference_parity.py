@@ -762,6 +762,9 @@ def test_fusion_prep_parity(ref_path, tmp_path):
     if not hasattr(np, "float"):  # fusibile.py uses np.float on numpy>=2
         np.float = float
     from evaluation import fusibile as ref_fusibile
+    # the module may have been imported by an earlier test, in which case
+    # it bound the stub's non-callable placeholder at ITS import time
+    ref_fusibile.ToPILImage = _ToPILImage
 
     scene = SyntheticSceneDataset(num_views=4, height=64, width=96, seed=3)
     names = [scene[i]["filename"].replace("/", "_") for i in range(4)]

@@ -126,12 +126,9 @@ class SingleStage(nn.Module):
         self.uncert_net = UncertNet(dtype=self.dtype, name="uncert_net")
         self.reg_fuse = RegFuse(dtype=self.dtype, name="reg_fuse")
 
-    def _pair(self, ref_vol, src_feat, K0, R0, t0, Ks, Rs, ts,
-              depth_num, depth_start, depth_interval, hw, train):
-        """One source pair: warp -> correlation -> reg -> score -> uncert."""
-        warped = homography_sweep_warp(
-            src_feat, K0, R0, t0, Ks, Rs, ts,
-            depth_num, depth_start, depth_interval, hw)
+    def _pair_tail(self, ref_vol, warped, depth_start, depth_interval,
+                   train):
+        """correlation -> reg -> score -> uncert, from a warped volume."""
         cost = groupwise_correlation(
             jnp.broadcast_to(ref_vol, warped.shape), warped, 8)
         if _active_axis(self.hyp_axis):
@@ -145,6 +142,15 @@ class SingleStage(nn.Module):
         ent = entropy(prob, axis=1, keepdims=False)[:, :, :, None]
         uncert = self.uncert_net(ent, train)[..., 0]   # [B, H, W]
         return interm, est_depth, uncert
+
+    def _pair(self, ref_vol, src_feat, K0, R0, t0, Ks, Rs, ts,
+              depth_num, depth_start, depth_interval, hw, train):
+        """One source pair: warp -> correlation -> reg -> score -> uncert."""
+        warped = homography_sweep_warp(
+            src_feat, K0, R0, t0, Ks, Rs, ts,
+            depth_num, depth_start, depth_interval, hw)
+        return self._pair_tail(ref_vol, warped, depth_start,
+                               depth_interval, train)
 
     def __call__(self, ref_feat, srcs_feat, cams, depth_num: int,
                  depth_start, depth_interval, s_scale: int,
@@ -173,16 +179,41 @@ class SingleStage(nn.Module):
                 srcs = jax.lax.with_sharding_constraint(
                     srcs, P(self.view_axis))
 
-            vpair = nn.vmap(
-                SingleStage._pair,
-                in_axes=(None, 0, None, None, None, 0, 0, 0,
-                         None, None, None, None, None),
-                out_axes=0,
-                variable_axes={"params": None, "batch_stats": None},
-                split_rngs={"params": False})
-            interm_s, est_s, unc_s = vpair(
-                self, ref_vol, srcs, K[:, 0], R[:, 0], t[:, 0], Ks, Rs, ts,
-                depth_num, depth_start, depth_interval, (h, w), train)
+            from ..ops.mosaic_sweep import vis_mosaic_supported
+            use_mosaic = (vis_mosaic_supported((h, w),
+                                               srcs_feat[0].shape[1:3],
+                                               ref_feat.dtype)
+                          and not _active_axis(self.view_axis))
+            if use_mosaic:
+                # Mosaic streamed warp per pair (runtime exact fallback),
+                # then the shared tail vmapped over the stacked volumes
+                from ..ops.mosaic_sweep import homography_volume_mosaic
+                warped_s = jnp.stack([
+                    homography_volume_mosaic(
+                        srcs_feat[i], K[:, 0], R[:, 0], t[:, 0],
+                        K[:, i + 1], R[:, i + 1], t[:, i + 1],
+                        depth_num, depth_start, depth_interval, (h, w))
+                    for i in range(n_src)], 0)     # [S, B, D, h, w, C]
+                vtail = nn.vmap(
+                    SingleStage._pair_tail,
+                    in_axes=(None, 0, None, None, None), out_axes=0,
+                    variable_axes={"params": None, "batch_stats": None},
+                    split_rngs={"params": False})
+                interm_s, est_s, unc_s = vtail(
+                    self, ref_vol, warped_s, depth_start, depth_interval,
+                    train)
+            else:
+                vpair = nn.vmap(
+                    SingleStage._pair,
+                    in_axes=(None, 0, None, None, None, 0, 0, 0,
+                             None, None, None, None, None),
+                    out_axes=0,
+                    variable_axes={"params": None, "batch_stats": None},
+                    split_rngs={"params": False})
+                interm_s, est_s, unc_s = vpair(
+                    self, ref_vol, srcs, K[:, 0], R[:, 0], t[:, 0],
+                    Ks, Rs, ts, depth_num, depth_start, depth_interval,
+                    (h, w), train)
             pair_results = [(est_s[i], (unc_s[i],)) for i in range(n_src)]
 
             if self.mode == "soft":

@@ -288,8 +288,9 @@ def build_corner_table_tiled(src: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(t.reshape(ht, c2, wt, LANES), (2, 0, 1, 3))
 
 
-def _kernel_px(ybase_ref, xtb_ref, wb_ref, trans_ref,
-               rotx_ref, roty_ref, rotz_ref,    # VMEM [RB, Wp] f32
+def _kernel_px(ybase_ref, xtb_ref, wb_ref,
+               px_ref, py_ref, pz_ref,          # VMEM [RB, Wp] f32
+               qx_ref, qy_ref, qz_ref,          # VMEM [RB, Wp] f32
                dmap_ref,                        # VMEM [1, RB, Wp] f32
                table_ref,                       # ANY [Wt, Ht, C2, 128] i32
                out_ref,                         # VMEM [1, RB, C, Wp]
@@ -311,11 +312,15 @@ def _kernel_px(ybase_ref, xtb_ref, wb_ref, trans_ref,
         dma.start()
         dma.wait()
 
-    # ---- vectorized per-pixel plan ----
+    # ---- vectorized per-pixel plan: coords = (P*s + Q) / (Pz*s + Qz)
+    # covers BOTH grid conventions — MVSNet (module.py:127-155): P=rot_xyz,
+    # Q=trans planes, s=depth; Vis-MVSNet (homography.py:23-121, the
+    # A - B/d decomposition): P=-B planes, Q=A planes, s=1/depth, with the
+    # (size-1)/size coordinate scale folding its normalization chain ----
     d = dmap_ref[0]                               # [RB, Wp]
-    rx = rotx_ref[:] * d + trans_ref[0]
-    ry = roty_ref[:] * d + trans_ref[1]
-    rz = rotz_ref[:] * d + trans_ref[2]
+    rx = px_ref[:] * d + qx_ref[:]
+    ry = py_ref[:] * d + qy_ref[:]
+    rz = pz_ref[:] * d + qz_ref[:]
     xs = jnp.where(rz > 0, rx / rz, -10.0) * sx
     ys = jnp.where(rz > 0, ry / rz, -10.0) * sy
     x0f = jnp.floor(xs)
@@ -371,34 +376,74 @@ def _kernel_px(ybase_ref, xtb_ref, wb_ref, trans_ref,
             out_ref[0, r, :, ls] = out
 
 
-def sweep_spans_px(rot_xyz: jnp.ndarray, trans: jnp.ndarray,
-                   depths: jnp.ndarray, src_hw: tuple[int, int],
-                   sx: float = 1.0, sy: float = 1.0):
-    """Window plan for the per-pixel kernel.
+def mvsnet_planes(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
+                  ref_hw: tuple[int, int]):
+    """(P, Q, sx, sy) for the MVSNet grid convention: coords =
+    (rot_xyz*d + trans)/z in pixel units (s = depth)."""
+    rxyz, trans = rot_planes(src_proj, ref_proj, ref_hw)
+    q = jnp.broadcast_to(trans.reshape(3, 1, 1).astype(jnp.float32),
+                         rxyz.shape)
+    return rxyz, q, 1.0, 1.0
 
-    depths: [D] or [D, H, W]. Returns dict with ybase/xtb [D, H, XC] i32,
+
+def vis_planes(K_ref, R_ref, t_ref, K_src, R_src, t_src,
+               ref_hw: tuple[int, int], src_hw: tuple[int, int]):
+    """(P, Q, sx, sy) for the Vis-MVSNet homography convention.
+
+    Parity: ops/plane_sweep.homography_sweep_warp (homography.py:23-121):
+    pixel-center ref grid (+0.5), warped = A p - (B p)/d, coordinates
+    normalized by the SIZE then unnormalized align_corners — a net
+    (size-1)/size scale; the reference's [-1.1, 1.1] clamp only parks
+    already-invalid coords outside the valid corner range, which the
+    kernel's validity mask reproduces (exact zeros). Use s = 1/(d + 1e-9).
+    """
+    from ..geometry.projective import pixel_grid
+    rh, rw = ref_hw
+    sh, sw = src_hw
+    K_ref_inv = jnp.linalg.inv(K_ref)
+    R_ref_T = jnp.swapaxes(R_ref, -1, -2)
+    fronto = R_ref[2:3, :]
+    c_rel = (-jnp.swapaxes(R_src, -1, -2) @ t_src) - (-R_ref_T @ t_ref)
+    M = K_src @ R_src
+    A = M @ R_ref_T @ K_ref_inv
+    Bm = M @ (c_rel @ fronto) @ R_ref_T @ K_ref_inv
+    grid = pixel_grid(rh, rw, jnp.float32, offset=0.5)
+    hom = jnp.concatenate([grid, jnp.ones_like(grid[..., :1])], -1)
+    Ap = jnp.einsum("ij,hwj->ihw", A.astype(jnp.float32), hom)
+    Bp = jnp.einsum("ij,hwj->ihw", Bm.astype(jnp.float32), hom)
+    return -Bp, Ap, (sw - 1.0) / sw, (sh - 1.0) / sh
+
+
+def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
+                   svals: jnp.ndarray, src_hw: tuple[int, int],
+                   sx: float = 1.0, sy: float = 1.0):
+    """Window plan for the per-pixel kernel (coords = (P*s + Q)/(Pz*s+Qz)).
+
+    svals: [D] or [D, H, W]. Returns dict with ybase/xtb [D, H, XC] i32,
     wb [HB] i32, and the exactness stats (yspan, xover, wspan int32
     scalars): exact iff yspan <= KY-1, xover <= 0 (per-chunk max corner col
     inside its 2-tile window), wspan <= KR - KY.
     """
     h, w = src_hw
-    d = depths.shape[0]
-    _, rh, rw = rot_xyz.shape
+    d = svals.shape[0]
+    _, rh, rw = P.shape
     xc = (rw + LANES - 1) // LANES
     wp = xc * LANES
-    wtiles = ((w + 2 + LANES - 1) // LANES)
 
-    rp = jnp.pad(rot_xyz, ((0, 0), (0, 0), (0, wp - rw)),
-                 constant_values=-1e9)
-    if depths.ndim == 1:
-        dv = depths.reshape(d, 1, 1).astype(jnp.float32)
+    # pad lanes must come out invalid: z = P*s + Q with huge-negative pads
+    # goes negative for either sign of s... s can be tiny (1/d); pad BOTH
+    # P and Q so Qz alone forces z < 0
+    rp = jnp.pad(P, ((0, 0), (0, 0), (0, wp - rw)), constant_values=0.0)
+    qp = jnp.pad(Q, ((0, 0), (0, 0), (0, wp - rw)), constant_values=-1e9)
+    if svals.ndim == 1:
+        dv = svals.reshape(d, 1, 1).astype(jnp.float32)
     else:
-        dv = jnp.pad(depths.astype(jnp.float32),
+        dv = jnp.pad(svals.astype(jnp.float32),
                      ((0, 0), (0, 0), (0, wp - rw)))
-    rz = rp[2] * dv + trans[2]
+    rz = rp[2] * dv + qp[2]
     zs = jnp.where(rz > 0, rz, 1.0)
-    ys = jnp.where(rz > 0, (rp[1] * dv + trans[1]) / zs, -10.0) * sy
-    xs = jnp.where(rz > 0, (rp[0] * dv + trans[0]) / zs, -10.0) * sx
+    ys = jnp.where(rz > 0, (rp[1] * dv + qp[1]) / zs, -10.0) * sy
+    xs = jnp.where(rz > 0, (rp[0] * dv + qp[0]) / zs, -10.0) * sx
     x0f = jnp.floor(xs)
     y0f = jnp.floor(ys)
     valid = ((x0f >= -1.0) & (x0f <= float(w) - 1.0)
@@ -434,19 +479,20 @@ def sweep_spans_px(rot_xyz: jnp.ndarray, trans: jnp.ndarray,
                 yspan=yspan, xover=xover, wspan=wspan)
 
 
-def mosaic_sweep_warp_px(src: jnp.ndarray, rot_xyz: jnp.ndarray,
-                         trans: jnp.ndarray, depths: jnp.ndarray,
-                         plan: dict, KY: int = 2, KR: int = 32,
+def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
+                         svals: jnp.ndarray, plan: dict,
+                         KY: int = 2, KR: int = 32,
                          sx: float = 1.0, sy: float = 1.0,
                          interpret: bool = False) -> jnp.ndarray:
-    """Streamed-window warp with [D] or [D, H, W] depths.
+    """Streamed-window warp, coords = (P*s + Q)/(Pz*s + Qz) * (sx, sy).
 
-    Exact iff plan's yspan <= KY-1, xover <= 0, wspan <= KR-KY (callers
-    dispatch on these). Returns [D, H, C, W] bf16.
+    svals: [D] or [D, H, W] (MVSNet: depths; Vis: 1/(depth+1e-9)). Exact
+    iff plan's yspan <= KY-1, xover <= 0, wspan <= KR-KY (callers dispatch
+    on these). Returns [D, H, C, W] bf16.
     """
     h, w, C = src.shape
-    D = depths.shape[0]
-    _, H, W = rot_xyz.shape
+    D = svals.shape[0]
+    _, H, W = P.shape
     XC = (W + LANES - 1) // LANES
     Wp = XC * LANES
     assert H % RB == 0, (H, RB)
@@ -454,13 +500,13 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, rot_xyz: jnp.ndarray,
     Wt, Ht, C2, _ = table.shape
     NT = min(2, Wt)
     KR = min(KR, Ht)
-    rp = jnp.pad(rot_xyz, ((0, 0), (0, 0), (0, Wp - W)),
-                 constant_values=-1e9)
-    if depths.ndim == 1:
+    rp = jnp.pad(P, ((0, 0), (0, 0), (0, Wp - W)), constant_values=0.0)
+    qp = jnp.pad(Q, ((0, 0), (0, 0), (0, Wp - W)), constant_values=-1e9)
+    if svals.ndim == 1:
         dmap = jnp.broadcast_to(
-            depths.astype(jnp.float32)[:, None, None], (D, H, Wp))
+            svals.astype(jnp.float32)[:, None, None], (D, H, Wp))
     else:
-        dmap = jnp.pad(depths.astype(jnp.float32),
+        dmap = jnp.pad(svals.astype(jnp.float32),
                        ((0, 0), (0, 0), (0, Wp - W)))
     yb = jnp.clip(plan["ybase"], 0, Ht - KY)
     wb = jnp.clip(plan["wb"], 0, Ht - KR)
@@ -470,15 +516,15 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, rot_xyz: jnp.ndarray,
         _kernel_px, C=C, H=H, W=w, Ht=Ht, Wt=Wt, KY=KY, KR=KR, XC=XC,
         NT=NT, sx=sx, sy=sy)
 
+    row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=3,
         grid=(H // RB, D),
         in_specs=[
-            pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0)),
-            pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0)),
-            pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0)),
+            row_spec, row_spec, row_spec,       # P planes
+            row_spec, row_spec, row_spec,       # Q planes
             pl.BlockSpec((1, RB, Wp), lambda yy, di, *pf: (di, yy, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # table stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),     # table stays in HBM
         ],
         out_specs=pl.BlockSpec((1, RB, C, Wp),
                                lambda yy, di, *pf: (di, yy, 0, 0)),
@@ -498,8 +544,8 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, rot_xyz: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), jnp.bfloat16),
         interpret=interpret,
-    )(yb.reshape(-1), xtb.reshape(-1), wb, trans.astype(jnp.float32),
-      rp[0], rp[1], rp[2], dmap, table)
+    )(yb.reshape(-1), xtb.reshape(-1), wb,
+      rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, table)
     return out[..., :W]
 
 
@@ -543,9 +589,9 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
         planes = []
         ok = None
         for i in range(1, n):
-            rxyz, trans = rot_planes(proj[bb, i], rp, ref_hw)
-            plan = sweep_spans_px(rxyz, trans, db, (h, w))
-            planes.append((i, rxyz, trans, plan))
+            P, Q, sx, sy = mvsnet_planes(proj[bb, i], rp, ref_hw)
+            plan = sweep_spans_px(P, Q, db, (h, w))
+            planes.append((i, P, Q, plan))
             fit = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
             if not full_window:
                 fit = fit & (plan["wspan"] <= KR - KY)
@@ -556,9 +602,9 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
                                   (0, 2, 1))[None].astype(jnp.float32)
             vol_sum = None
             vol_sq = None
-            for i, rxyz, trans, plan in planes:
+            for i, P, Q, plan in planes:
                 warped = mosaic_sweep_warp_px(
-                    feats_l[i][bb], rxyz, trans, db, plan, KY=KY, KR=KR,
+                    feats_l[i][bb], P, Q, db, plan, KY=KY, KR=KR,
                     interpret=interpret).astype(jnp.float32)  # [D, H, C, W]
                 sq = warped ** 2
                 vol_sum = warped if vol_sum is None else vol_sum + warped
@@ -654,6 +700,70 @@ def mosaic_px_supported(ref_hw: tuple[int, int], dtype) -> bool:
     except Exception:
         return False
     return dtype == jnp.bfloat16 and ref_hw[0] % RB == 0
+
+
+def vis_mosaic_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
+                         dtype) -> bool:
+    """Vis-convention eligibility: px-path conditions PLUS the clamp-parity
+    size bound — the reference parks out-of-range coords at +-1.1
+    normalized, which only lands outside the valid corner range (exact
+    zeros, matching the kernel's validity mask) when 0.05*(size-1) >= 1."""
+    return (mosaic_px_supported(ref_hw, dtype)
+            and min(src_hw) >= 21)
+
+
+def homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
+                             depth_num: int, depth_start, depth_interval,
+                             ref_hw, KY: int = 2, KR: int = 48,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Vis-MVSNet homography sweep via the streamed kernel, exact fallback.
+
+    Drop-in for ops.plane_sweep.homography_sweep_warp (same argument
+    contract: batched [B, ...] cams, depth_start [B,1,1,1] or per-pixel
+    [B,1,H,W]); one runtime span-cond per batch element. Returns
+    [B, D, H, W, C].
+    """
+    from .plane_sweep import homography_sweep_warp
+    b, h, w, C = src.shape
+    rh, rw = ref_hw
+    dtype = src.dtype
+    steps = jnp.arange(depth_num, dtype=jnp.float32).reshape(depth_num, 1, 1)
+
+    outs = []
+    for bb in range(b):
+        P, Q, sx, sy = vis_planes(K_ref[bb], R_ref[bb], t_ref[bb],
+                                  K_src[bb], R_src[bb], t_src[bb],
+                                  ref_hw, (h, w))
+        start = depth_start[bb, 0].astype(jnp.float32)     # [1,1] or [H,W]
+        interval = depth_interval[bb, 0, 0, 0].astype(jnp.float32)
+        depth = start[None] + interval * steps             # [D, ?, ?]
+        svals = 1.0 / (depth + 1e-9)
+        if svals.shape[1] == 1:
+            svals = svals[:, 0, 0]                          # [D]
+        else:
+            svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
+        plan = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
+        Ht = h + 2
+        KRb = min(KR, Ht)
+        ok = ((plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
+              & ((plan["wspan"] <= KRb - KY) if KRb < Ht else True))
+
+        def kern(bb=bb, P=P, Q=Q, svals=svals, plan=plan, KRb=KRb,
+                 sx=sx, sy=sy):
+            out = mosaic_sweep_warp_px(src[bb], P, Q, svals, plan, KY=KY,
+                                       KR=KRb, sx=sx, sy=sy,
+                                       interpret=interpret)
+            return jnp.transpose(out, (0, 1, 3, 2)).astype(dtype)
+
+        def fallback(bb=bb):
+            return homography_sweep_warp(
+                src[bb:bb + 1], K_ref[bb:bb + 1], R_ref[bb:bb + 1],
+                t_ref[bb:bb + 1], K_src[bb:bb + 1], R_src[bb:bb + 1],
+                t_src[bb:bb + 1], depth_num, depth_start[bb:bb + 1],
+                depth_interval[bb:bb + 1], ref_hw)[0]
+
+        outs.append(jax.lax.cond(ok, kern, fallback))
+    return jnp.stack(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------
