@@ -42,3 +42,19 @@ def make_scene(rng, n_views=3, h=16, w=24, noise=0.1):
         Rs.append(R)
         ts.append(t)
     return (np.stack(Ks), np.stack(Rs), np.stack(ts))
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jax_state():
+    """Clear jax's in-process compilation caches between test MODULES.
+
+    The full suite accumulates hundreds of compiled CPU executables (plus
+    torch state from the reference-oracle tests); past ~160 tests the XLA
+    CPU client has been observed aborting inside a later compile. Bounding
+    the cache keeps per-module state independent; recompiles within a
+    module are unaffected.
+    """
+    yield
+    import gc
+    jax.clear_caches()
+    gc.collect()

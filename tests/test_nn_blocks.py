@@ -126,3 +126,49 @@ def test_unet_multiscale_shapes(rng):
     outs = m.apply(variables, x, train=False, multi_scale=3)
     assert [o.shape for o in outs] == [(1, 8, 8, 128), (1, 16, 16, 64),
                                        (1, 32, 32, 32)]
+
+
+def test_space_to_depth_packed_conv_matches_unpacked():
+    """The s2d-packed conv transform (nn/blocks._pack_kernel_s2d) is the
+    same math as the plain conv — exercised through CVP's pyramid
+    extractor whose 32/16-channel tail runs packed."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wildmvs.models.cvp_mvsnet import FeaturePyramidNet
+    from wildmvs.nn.blocks import TorchConv
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 32, 48, 3)), jnp.float32)
+    fp = FeaturePyramidNet()
+    v = fp.init(jax.random.PRNGKey(0), x)
+    got = fp.apply(v, x)
+
+    class Unpacked(FeaturePyramidNet):
+        @nn.compact
+        def __call__(self, x):
+            chans = [64, 64, 64, 32, 32, 32, 16, 16, 16]
+            names = ["conv0aa", "conv0ba", "conv0bb", "conv0bc", "conv0bd",
+                     "conv0be", "conv0bf", "conv0bg", "conv0bh"]
+            for ch, name in zip(chans, names):
+                x = TorchConv(ch, 3, 1, 1, use_bias=True, name=name)(x)
+                x = nn.leaky_relu(x, negative_slope=0.1)
+            return x
+
+    ref = Unpacked().apply(v, x)
+    assert float(jnp.abs(got - ref).max()) < 1e-5
+
+    # gradients flow through the scatter-built kernel to the SAME params
+    g1 = jax.grad(lambda v: (fp.apply(v, x) ** 2).sum())(v)
+    g2 = jax.grad(lambda v: (Unpacked().apply(v, x) ** 2).sum())(v)
+    leaves1 = jax.tree.leaves(g1)
+    leaves2 = jax.tree.leaves(g2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+    # odd sizes gate the packing off (ragged in-the-wild inputs)
+    x_odd = x[:, :31, :47]
+    out_odd = fp.apply(v, x_odd)
+    assert out_odd.shape == (2, 31, 47, 16)

@@ -52,18 +52,34 @@ def _bicubic_double(x: jnp.ndarray) -> jnp.ndarray:
 
 class FeaturePyramidNet(nn.Module):
     """Shared per-level feature extractor. Parity: net.py:21-47 (convs have
-    bias + LeakyReLU 0.1, modules.py:24-28)."""
+    bias + LeakyReLU 0.1, modules.py:24-28).
+
+    The 32/16-channel tail runs space-to-depth packed (2x2 blocks ->
+    128/64-channel convs, nn/blocks.py _pack_kernel_s2d): full-resolution
+    low-channel activations are padding-IO-bound under TPU lane tiling.
+    No BN here, so the transform is exact at train time too (leaky-relu is
+    elementwise; bias tiles per subpixel)."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        from ..nn.blocks import depth_to_space, space_to_depth
         chans = [64, 64, 64, 32, 32, 32, 16, 16, 16]
         names = ["conv0aa", "conv0ba", "conv0bb", "conv0bc", "conv0bd",
                  "conv0be", "conv0bf", "conv0bg", "conv0bh"]
-        for ch, name in zip(chans, names):
-            x = TorchConv(ch, 3, 1, 1, use_bias=True, dtype=self.dtype,
-                          name=name)(x)
+        h, w = x.shape[1:3]
+        pack_from = 4 if (h % 2 == 0 and w % 2 == 0) else len(names)
+        packed = False
+        for i, (ch, name) in enumerate(zip(chans, names)):
+            if i == pack_from:
+                x = space_to_depth(x, 2)
+                packed = True
+            conv = TorchConv(ch, 3, 1, 1, use_bias=True, dtype=self.dtype,
+                             name=name)
+            x = conv(x, packed_s2d=(2, 2)) if packed else conv(x)
             x = nn.leaky_relu(x, negative_slope=0.1)
+        if packed:
+            x = depth_to_space(x, 2)
         return x
 
 

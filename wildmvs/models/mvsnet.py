@@ -34,7 +34,12 @@ from .api import register_model, view_list
 
 class FeatureNet(nn.Module):
     """8-8 / 16-16-16 / 32-32 conv stack, 1/4 resolution, 32 channels.
-    Parity: models/MVSNet/model.py:21-41."""
+    Parity: models/MVSNet/model.py:21-41.
+
+    (A space-to-depth-packed variant of the 8-channel head was measured
+    NEUTRAL-to-negative in-model — XLA overlaps this stack's padding IO
+    with the warp — and removed; CVP's full-resolution extractor keeps the
+    packing where it does pay, see cvp_mvsnet.FeaturePyramidNet.)"""
     dtype: Any = jnp.float32
 
     @nn.compact

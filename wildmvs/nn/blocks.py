@@ -62,6 +62,69 @@ def _conv3d_via_2d(x, kernel, strides, padding):
     return out
 
 
+def space_to_depth(x, p: int):
+    """[B, H, W, C] -> [B, H/p, W/p, p*p*C] (subpixel-major channels)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // p, p, w // p, p, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, h // p, w // p, p * p * c)
+
+
+def depth_to_space(x, p: int):
+    b, hb, wb, pc = x.shape
+    c = pc // (p * p)
+    x = x.reshape(b, hb, wb, p, p, c)
+    return jnp.transpose(x, (0, 1, 3, 2, 4, 5)).reshape(
+        b, hb * p, wb * p, c)
+
+
+def _pack_kernel_s2d(w, pin, pout, stride, pad):
+    """[k, k, Ci, Co] -> (W2 [th, tw, pin^2*Ci, pout^2*Co], tmin, bs).
+
+    The space-to-depth conv transform: output block Y holds out pixels
+    pout*Y + u; the input pixel for (u, ky) is pin*(bs*Y) + (s*u + ky -
+    pad) with bs = s*pout/pin whole blocks per step. Identical math (the
+    scattered entries are the original weights; the rest are zeros); the
+    dense fill factor is k^2*pout^2 / (th^2*pin^2*pout^2), so this only
+    pays off where lane padding of the UNPACKED activations wastes more —
+    the C <= 16 layers (a [.., 8]-minor bf16 tensor occupies 16x its
+    logical bytes; see BASELINE.md round 2).
+    """
+    k, k2, ci, co = w.shape
+    assert k == k2 and (stride * pout) % pin == 0
+    offs = [stride * u + ky - pad for u in range(pout) for ky in range(k)]
+    tmin = min(o // pin for o in offs)
+    tmax = max(o // pin for o in offs)
+    th = tmax - tmin + 1
+    w2 = jnp.zeros((th, th, pin * pin * ci, pout * pout * co), w.dtype)
+    for uy in range(pout):
+        for ux in range(pout):
+            for ky in range(k):
+                for kx in range(k):
+                    oy = stride * uy + ky - pad
+                    ox = stride * ux + kx - pad
+                    ty, vy = oy // pin - tmin, oy % pin
+                    tx, vx = ox // pin - tmin, ox % pin
+                    w2 = w2.at[ty, tx,
+                               (vy * pin + vx) * ci:(vy * pin + vx + 1) * ci,
+                               (uy * pout + ux) * co:
+                               (uy * pout + ux + 1) * co].add(w[ky, kx])
+    return w2, tmin, (stride * pout) // pin
+
+
+def _conv_s2d(xp, kernel, pin, pout, stride, pad):
+    """Packed conv: [B, Hb, Wb, pin^2*Ci] -> [B, Hb', Wb', pout^2*Co]."""
+    w2, tmin, bs = _pack_kernel_s2d(kernel, pin, pout, stride, pad)
+    th = w2.shape[0]
+    grow = max(th - bs + tmin, 0)
+    xp = jnp.pad(xp, ((0, 0), (-tmin, grow), (-tmin, grow), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(xp.shape, w2.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        xp, w2, window_strides=(bs, bs), padding=[(0, 0), (0, 0)],
+        dimension_numbers=dn)
+
+
 def _packed_out_depth(D, kd, sd, pd):
     """Output depth of a packed conv3d (see TorchConv.packed_depth)."""
     return (D + 2 * pd - kd) // sd + 1
@@ -125,7 +188,8 @@ class TorchConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, packed_depth: int | None = None):
+    def __call__(self, x, packed_depth: int | None = None,
+                 packed_s2d: tuple | None = None):
         nd = 3 if packed_depth is not None else x.ndim - 2
         k = _tup(self.kernel_size, nd)
         s = _tup(self.strides, nd)
@@ -145,6 +209,26 @@ class TorchConv(nn.Module):
                 bias = self.param("bias", nn.initializers.zeros,
                                   (self.features,), jnp.float32)
                 y = y + jnp.tile(bias.astype(self.dtype), dout)
+            return y
+        if packed_s2d is not None:
+            # space-to-depth packed 2D conv (see _pack_kernel_s2d): the
+            # input is [B, H/pin, W/pin, pin^2*Ci]. Parameters live at the
+            # usual nn.Conv path — materialized by a dummy call (DCE'd)
+            # and read back for the block-scattered kernel.
+            pin, pout = packed_s2d
+            assert k[0] == k[1] and s[0] == s[1] and p[0] == p[1]
+            ci = x.shape[-1] // (pin * pin)
+            conv = nn.Conv(self.features, kernel_size=k, strides=s,
+                           padding=[(pi, pi) for pi in p],
+                           use_bias=self.use_bias, dtype=self.dtype,
+                           name="conv")
+            _ = conv(jnp.zeros((1,) + k + (ci,), x.dtype))
+            kernel = conv.variables["params"]["kernel"].astype(self.dtype)
+            y = _conv_s2d(x.astype(self.dtype), kernel, pin, pout,
+                          s[0], p[0])
+            if self.use_bias:
+                bias = conv.variables["params"]["bias"].astype(self.dtype)
+                y = y + jnp.tile(bias, pout * pout)
             return y
         if nd == 3:
             # XLA's conv3d runs ~8x below its conv2d on these shapes (v5e);
@@ -310,14 +394,17 @@ class ConvBnReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 packed_depth: int | None = None):
+                 packed_depth: int | None = None,
+                 packed_s2d: tuple | None = None):
         x = TorchConv(self.features, self.kernel_size, self.strides,
                       self.padding, dtype=self.dtype, name="conv")(
-            x, packed_depth=packed_depth)
+            x, packed_depth=packed_depth, packed_s2d=packed_s2d)
         if packed_depth is not None:
             packed_depth = _packed_out_depth(
                 packed_depth, _tup(self.kernel_size, 3)[0],
                 _tup(self.strides, 3)[0], _tup(self.padding, 3)[0])
+        elif packed_s2d is not None:
+            packed_depth = packed_s2d[1] ** 2  # BN groups = out subpixels
         x = BatchNorm(dtype=self.dtype, name="bn")(x, train,
                                                    packed_depth=packed_depth)
         return nn.relu(x) if self.relu else x
