@@ -60,25 +60,52 @@ class FeatExt(nn.Module):
         return out1, out2, out3  # 1/8, 1/4, 1/2 resolution
 
 
+def _pack_gate(x, train):
+    """Depth-pack eligibility for the 8-channel vis regularizers: the
+    [.., 8]-minor volumes pay 16x lane-padding IO unpacked (BASELINE.md
+    layout study); D/3 dense-fill overhead caps worthwhile D at ~32."""
+    d, c = x.shape[1], x.shape[-1]
+    return (not train) and x.ndim == 5 and d % 2 == 0 and d * c <= 256
+
+
 class Reg(nn.Module):
-    """Per-pair 3D regularizer (8 -> 8 ch). Parity: model_cas.py:38-48."""
+    """Per-pair 3D regularizer (8 -> 8 ch). Parity: model_cas.py:38-48.
+
+    Runs depth-packed at eval for small hypothesis counts (stages 2-3):
+    same parameters/math, full MXU channel tiles (nn/blocks packed_depth)."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return UNet(enc_blocks_per_stage=1, dec_blocks_per_stage=0,
-                    filters=(8, 16), dtype=self.dtype, name="unet")(x, train)
+        unet = UNet(enc_blocks_per_stage=1, dec_blocks_per_stage=0,
+                    filters=(8, 16), dtype=self.dtype, name="unet")
+        if _pack_gate(x, train):
+            b, d, h, w, c = x.shape
+            xp = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+            out = unet(xp, train, packed_depth=d)
+            co = out.shape[-1] // d
+            return jnp.transpose(
+                out.reshape(b, h, w, d, co), (0, 3, 1, 2, 4))
+        return unet(x, train)
 
 
 class RegFuse(nn.Module):
-    """Fused-volume regularizer + scorer. Parity: model_cas.py:62-74."""
+    """Fused-volume regularizer + scorer. Parity: model_cas.py:62-74.
+    Depth-packed at eval like `Reg`."""
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = UNet(enc_blocks_per_stage=1, dec_blocks_per_stage=0,
-                 filters=(8, 16), dtype=self.dtype, name="unet")(x, train)
-        return TorchConv(1, 3, 1, 1, dtype=self.dtype, name="final_conv")(x)
+        unet = UNet(enc_blocks_per_stage=1, dec_blocks_per_stage=0,
+                    filters=(8, 16), dtype=self.dtype, name="unet")
+        final = TorchConv(1, 3, 1, 1, dtype=self.dtype, name="final_conv")
+        if _pack_gate(x, train):
+            b, d, h, w, c = x.shape
+            xp = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
+            out = unet(xp, train, packed_depth=d)
+            out = final(out, packed_depth=d)          # [B, H, W, D*1]
+            return jnp.transpose(out, (0, 3, 1, 2))[..., None]
+        return final(unet(x, train))
 
 
 class UncertNet(nn.Module):

@@ -448,17 +448,23 @@ class BasicBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 packed_depth: int | None = None):
         residual = x
+        in_ch = x.shape[-1] if packed_depth is None \
+            else x.shape[-1] // packed_depth
+        pd_out = packed_depth if packed_depth is None else \
+            _packed_out_depth(packed_depth, 3, self.strides, 1)
         out = ConvBnReLU(self.features, 3, self.strides, 1, dtype=self.dtype,
-                         name="conv1")(x, train)
+                         name="conv1")(x, train, packed_depth=packed_depth)
         out = ConvBnReLU(self.features, 3, 1, 1, relu=False, dtype=self.dtype,
-                         name="conv2")(out, train)
-        if self.strides != 1 or x.shape[-1] != self.features:
+                         name="conv2")(out, train, packed_depth=pd_out)
+        if self.strides != 1 or in_ch != self.features:
             residual = TorchConv(self.features, 1, self.strides, 0,
-                                 dtype=self.dtype, name="downsample_conv")(x)
+                                 dtype=self.dtype, name="downsample_conv")(
+                x, packed_depth=packed_depth)
             residual = BatchNorm(dtype=self.dtype, name="downsample_bn")(
-                residual, train)
+                residual, train, packed_depth=pd_out)
         return nn.relu(out + residual)
 
 
@@ -471,12 +477,16 @@ class ResLayer(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False,
+                 packed_depth: int | None = None):
         x = BasicBlock(self.features, self.strides, dtype=self.dtype,
-                       name="block0")(x, train)
+                       name="block0")(x, train, packed_depth=packed_depth)
+        if packed_depth is not None:
+            packed_depth = _packed_out_depth(packed_depth, 3, self.strides, 1)
         for i in range(1, self.blocks):
             x = BasicBlock(self.features, 1, dtype=self.dtype,
-                           name=f"block{i}")(x, train)
+                           name=f"block{i}")(x, train,
+                                             packed_depth=packed_depth)
         return x
 
 
@@ -496,28 +506,54 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, multi_scale: int = 1):
+    def __call__(self, x, train: bool = False, multi_scale: int = 1,
+                 packed_depth: int | None = None):
+        pd = packed_depth
         idx = 0
         for f in self.bottom_filters:
-            x = ResLayer(f, self.enc_blocks_per_stage, 1 if idx == 0 else 2,
-                         dtype=self.dtype, name=f"bottom{idx}")(x, train)
+            s = 1 if idx == 0 else 2
+            x = ResLayer(f, self.enc_blocks_per_stage, s,
+                         dtype=self.dtype, name=f"bottom{idx}")(
+                x, train, packed_depth=pd)
+            if pd is not None:
+                pd = _packed_out_depth(pd, 3, s, 1)
             idx += 1
         enc_out = []
+        enc_pd = []
         for f in self.filters:
-            x = ResLayer(f, self.enc_blocks_per_stage, 1 if idx == 0 else 2,
-                         dtype=self.dtype, name=f"enc{idx}")(x, train)
+            s = 1 if idx == 0 else 2
+            x = ResLayer(f, self.enc_blocks_per_stage, s,
+                         dtype=self.dtype, name=f"enc{idx}")(
+                x, train, packed_depth=pd)
+            if pd is not None:
+                pd = _packed_out_depth(pd, 3, s, 1)
             enc_out.append(x)
+            enc_pd.append(pd)
             idx += 1
         dec_out = [x]
         for i, f in enumerate(list(self.filters[-2::-1])):
             x = TorchConvTranspose(f, 3, 2, 1, 1, dtype=self.dtype,
-                                   name=f"dec{idx}_deconv")(x)
-            x = jnp.concatenate([x, enc_out[-2 - i]], axis=-1)
+                                   name=f"dec{idx}_deconv")(
+                x, packed_depth=pd)
+            if pd is not None:
+                pd = _packed_out_depth_transpose(pd, 3, 2, 1, 1)
+                # packed concat must interleave per depth slab: channel
+                # index is (d, c)-major, so concat on the C axis of the
+                # [.., D, C] view (a free minor-dim reshape)
+                skip = enc_out[-2 - i]
+                a = x.reshape(x.shape[:-1] + (pd, x.shape[-1] // pd))
+                b = skip.reshape(skip.shape[:-1]
+                                 + (pd, skip.shape[-1] // pd))
+                x = jnp.concatenate([a, b], axis=-1).reshape(
+                    x.shape[:-1] + (-1,))
+            else:
+                x = jnp.concatenate([x, enc_out[-2 - i]], axis=-1)
             x = TorchConv(f, 3, 1, 1, dtype=self.dtype,
-                          name=f"dec{idx}_conv")(x)
+                          name=f"dec{idx}_conv")(x, packed_depth=pd)
             if self.dec_blocks_per_stage > 0:
-                x = ResLayer(f, self.dec_blocks_per_stage, 1, dtype=self.dtype,
-                             name=f"dec{idx}_res")(x, train)
+                x = ResLayer(f, self.dec_blocks_per_stage, 1,
+                             dtype=self.dtype, name=f"dec{idx}_res")(
+                    x, train, packed_depth=pd)
             dec_out.append(x)
             idx += 1
         for f in self.head_filters:
