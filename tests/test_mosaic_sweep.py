@@ -249,3 +249,34 @@ def test_warp_mosaic_custom_vjp_matches_gather_grad():
     gm = np.asarray(vjp_m(cot)[0], np.float32)
     gg = np.asarray(vjp_g(cot)[0], np.float32)
     np.testing.assert_allclose(gm, gg, rtol=0, atol=0)
+
+
+def test_cost_volume_mosaic_softmin_interpret(monkeypatch):
+    """The mvsnet-s softmin aggregation through the mosaic branch (computed
+    in the kernel's [D, H, C, W] layout) == the reference-layout softmin."""
+    import wildmvs.ops.mosaic_sweep as ms
+    from wildmvs.ops.volumes import softmin_cost_volume
+
+    real_warp = ms.mosaic_sweep_warp
+    monkeypatch.setattr(ms, "mosaic_sweep_warp",
+                        lambda *a, **k: real_warp(*a, **{**k,
+                                                         "interpret": True}))
+    rng = np.random.default_rng(6)
+    B, N, H, W, C, D = 1, 3, 16, 40, 8, 12
+    feats = jnp.asarray(rng.standard_normal((B, N, H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+    temp = jnp.ones((1,), jnp.float32)
+
+    cv = ms.cost_volume_mosaic(feats, proj, [1, 2], 0, depths, (H, W),
+                               "softmin", D, temp=temp)
+    from wildmvs.ops.plane_sweep import plane_sweep_warp
+    fns = [(lambda i=i: plane_sweep_warp(feats[:, i], proj[:, i],
+                                         proj[:, 0], depths, (H, W)))
+           for i in (1, 2)]
+    want = softmin_cost_volume(feats[:, 0], warp_fns=fns, temperature=temp)
+    assert cv.shape == want.shape
+    assert np.abs(np.asarray(cv, np.float32)
+                  - np.asarray(want, np.float32)).max() < 0.15
