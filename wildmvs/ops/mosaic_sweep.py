@@ -142,63 +142,67 @@ def sweep_spans(rot_xyz: jnp.ndarray, trans: jnp.ndarray,
 
 def _kernel(ybase_ref, depth_ref, trans_ref, rotx_ref, roty_ref, rotz_ref,
             table_ref, out_ref, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
-            *, C, H, W, Wt, Ht, KY, XC):
+            *, C, H, W, Wt, Ht, KY, XC, DP):
     d_i = pl.program_id(0)
     yy = pl.program_id(1)
     C2 = C * 2
-    d = depth_ref[d_i]
+    nyy = pl.num_programs(1)
 
-    rx = rotx_ref[:] * d + trans_ref[0]
-    ry = roty_ref[:] * d + trans_ref[1]
-    rz = rotz_ref[:] * d + trans_ref[2]
-    xs = jnp.where(rz > 0, rx / rz, -10.0)
-    ys = jnp.where(rz > 0, ry / rz, -10.0)
-    x0f = jnp.floor(xs)
-    y0f = jnp.floor(ys)
-    fxb = xs - x0f
-    fyb = ys - y0f
-    validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
-              & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
-    ix_s[:] = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
-    iy_s[:] = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
-    vb = validb.astype(jnp.float32)
-    w00_s[:] = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
-    w01_s[:] = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
-    w10_s[:] = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
-    w11_s[:] = (fyb * fxb * vb).astype(jnp.bfloat16)
+    for dp in range(DP):
+        d = depth_ref[d_i * DP + dp]
 
-    for r in range(RB):
-        for xc in range(XC):
-            ls = pl.ds(xc * LANES, LANES)
-            ix = ix_s[r, ls]
-            iy = iy_s[r, ls]
-            ybase = ybase_ref[(d_i * pl.num_programs(1) * RB
-                               + yy * RB + r) * XC + xc]
-            iyl = jnp.clip(iy - ybase, 0, KY - 1)
-            inwin = (iy - ybase) == iyl
-            idx = jnp.broadcast_to(ix[None], (C2, LANES))
-            sel = None
-            for k in range(KY):
-                row = table_ref[ybase + k]
-                g = None
-                for t in range(Wt):
-                    tile = row[:, t * LANES:(t + 1) * LANES]
-                    loc = jnp.clip(idx - t * LANES, 0, LANES - 1)
-                    gt = jnp.take_along_axis(tile, loc, axis=1)
-                    if g is None:
-                        g = gt
-                    else:
-                        use = (idx >= t * LANES) & (idx < (t + 1) * LANES)
-                        g = jnp.where(use, gt, g)
-                ok = jnp.broadcast_to((iyl == k)[None], (C2, LANES))
-                sel = g if sel is None else jnp.where(ok, g, sel)
-            quad = pltpu.bitcast(sel, jnp.bfloat16)        # [4C, 128]
-            mask = inwin.astype(jnp.bfloat16)[None]
-            out = (quad[0 * C:1 * C] * w00_s[r, ls][None]
-                   + quad[1 * C:2 * C] * w01_s[r, ls][None]
-                   + quad[2 * C:3 * C] * w10_s[r, ls][None]
-                   + quad[3 * C:4 * C] * w11_s[r, ls][None]) * mask
-            out_ref[0, r, :, ls] = out
+        rx = rotx_ref[:] * d + trans_ref[0]
+        ry = roty_ref[:] * d + trans_ref[1]
+        rz = rotz_ref[:] * d + trans_ref[2]
+        xs = jnp.where(rz > 0, rx / rz, -10.0)
+        ys = jnp.where(rz > 0, ry / rz, -10.0)
+        x0f = jnp.floor(xs)
+        y0f = jnp.floor(ys)
+        fxb = xs - x0f
+        fyb = ys - y0f
+        validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
+                  & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
+        ix_s[:] = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
+        iy_s[:] = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
+        vb = validb.astype(jnp.float32)
+        w00_s[:] = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+        w01_s[:] = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
+        w10_s[:] = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+        w11_s[:] = (fyb * fxb * vb).astype(jnp.bfloat16)
+
+        for r in range(RB):
+            for xc in range(XC):
+                ls = pl.ds(xc * LANES, LANES)
+                ix = ix_s[r, ls]
+                iy = iy_s[r, ls]
+                ybase = ybase_ref[((d_i * DP + dp) * nyy * RB
+                                   + yy * RB + r) * XC + xc]
+                iyl = jnp.clip(iy - ybase, 0, KY - 1)
+                inwin = (iy - ybase) == iyl
+                idx = jnp.broadcast_to(ix[None], (C2, LANES))
+                sel = None
+                for k in range(KY):
+                    row = table_ref[ybase + k]
+                    g = None
+                    for t in range(Wt):
+                        tile = row[:, t * LANES:(t + 1) * LANES]
+                        loc = jnp.clip(idx - t * LANES, 0, LANES - 1)
+                        gt = jnp.take_along_axis(tile, loc, axis=1)
+                        if g is None:
+                            g = gt
+                        else:
+                            use = ((idx >= t * LANES)
+                                   & (idx < (t + 1) * LANES))
+                            g = jnp.where(use, gt, g)
+                    ok = jnp.broadcast_to((iyl == k)[None], (C2, LANES))
+                    sel = g if sel is None else jnp.where(ok, g, sel)
+                quad = pltpu.bitcast(sel, jnp.bfloat16)    # [4C, 128]
+                mask = inwin.astype(jnp.bfloat16)[None]
+                out = (quad[0 * C:1 * C] * w00_s[r, ls][None]
+                       + quad[1 * C:2 * C] * w01_s[r, ls][None]
+                       + quad[2 * C:3 * C] * w10_s[r, ls][None]
+                       + quad[3 * C:4 * C] * w11_s[r, ls][None]) * mask
+                out_ref[dp, r, :, ls] = out
 
 
 def mosaic_sweep_warp(src: jnp.ndarray, rot_xyz: jnp.ndarray,
@@ -230,19 +234,22 @@ def mosaic_sweep_warp(src: jnp.ndarray, rot_xyz: jnp.ndarray,
                  constant_values=-1e9)
     yb = jnp.clip(ybase, 0, Ht - KY).reshape(-1)
 
+    # depth-pairing: several planes per grid step amortize the per-step
+    # pipeline overhead and reuse the row-block fetches (~5% measured)
+    DP = 4 if D % 4 == 0 else (2 if D % 2 == 0 else 1)
     kern = functools.partial(
-        _kernel, C=C, H=h, W=w, Wt=Wt, Ht=Ht, KY=KY, XC=XC)
+        _kernel, C=C, H=h, W=w, Wt=Wt, Ht=Ht, KY=KY, XC=XC, DP=DP)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(D, H // RB),
+        grid=(D // DP, H // RB),
         in_specs=[
             pl.BlockSpec((RB, Wp), lambda di, yy, *pf: (yy, 0)),
             pl.BlockSpec((RB, Wp), lambda di, yy, *pf: (yy, 0)),
             pl.BlockSpec((RB, Wp), lambda di, yy, *pf: (yy, 0)),
             pl.BlockSpec((Ht, C2, Wpad), lambda di, yy, *pf: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, RB, C, Wp),
+        out_specs=pl.BlockSpec((DP, RB, C, Wp),
                                lambda di, yy, *pf: (di, yy, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((RB, Wp), jnp.int32),
