@@ -37,6 +37,13 @@ K-row window, so K >= RB + (warp y-variation) + 2; out-of-window pixels
 come out zero (out-of-frustum semantics). For MVS rigs (rectified DTU,
 selected YFCC/MegaDepth pairs) K = 2*RB covers substantial in-plane tilt.
 Verified against the gather path in tests/test_pallas_sweep.py.
+
+ROUND-2 NOTE: this module records the round-1 kernel study; its conclusion
+("the gather is the fastest exact path") is superseded by
+ops/mosaic_sweep.py — Mosaic's per-lane dynamic gather (take_along_axis on
+the minor axis) implements exactly the in-register selection these MXU
+formulations lacked, at 6.7 ms/view vs the 34 ms gather. These kernels are
+kept as the measured baseline the study compares against.
 """
 from __future__ import annotations
 

@@ -22,6 +22,10 @@ depend on scene geometry (up to bf16 weight rounding on the fast path).
 
 Semantics parity: models/MVSNet/module.py:111-169 (`homo_warping`) —
 border-zero bilinear, align_corners=True, behind-camera -> far away.
+
+ROUND-2 NOTE: superseded on TPU by ops/mosaic_sweep.py (the in-kernel
+per-lane dynamic gather solves the combine problem this module hit at the
+XLA level); kept as the study record and an XLA-only fallback.
 """
 from __future__ import annotations
 
