@@ -97,40 +97,59 @@ class CVPCostRegNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, packing: str = "auto"):
         b, d, h, w, c = x.shape
-        packed = (not train) and d % 2 == 0 and d * c <= 256
+        packed = (packing == "auto" and not train
+                  and d % 2 == 0 and d * c <= 256)
+        # larger hypothesis counts (the coarse full sweep: D=96, C=16) use
+        # the BLOCK-depth-packed path instead (nn/blocks packed_block):
+        # p=8 blocks keep every level at 128 packed channels with a
+        # halo-plane concat for the cross-block taps (packing="off" forces
+        # the unpacked conv3d stack — testing/debug)
+        blocked = (packing == "auto" and not train
+                   and not packed and d % 8 == 0)
+        pb1 = pb2 = None
         if packed:
             x = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c)
             pd1, pd2 = d, d // 2
+        elif blocked:
+            pb1, pb2 = 8, 4
+            x = jnp.transpose(x.reshape(b, d // 8, 8, h, w, c),
+                              (0, 1, 3, 4, 2, 5)).reshape(
+                b, d // 8, h, w, 8 * c)
+            pd1 = pd2 = None
         else:
             pd1 = pd2 = None
         c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0")(
-            x, train, packed_depth=pd1)
+            x, train, packed_depth=pd1, packed_block=pb1)
         c0 = ConvBnReLU(16, dtype=self.dtype, name="conv0a")(
-            c0, train, packed_depth=pd1)
+            c0, train, packed_depth=pd1, packed_block=pb1)
         x1 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv1")(
-            c0, train, packed_depth=pd1)
+            c0, train, packed_depth=pd1, packed_block=pb1)
         x1 = ConvBnReLU(32, dtype=self.dtype, name="conv2")(
-            x1, train, packed_depth=pd2)
+            x1, train, packed_depth=pd2, packed_block=pb2)
         c2 = ConvBnReLU(32, dtype=self.dtype, name="conv2a")(
-            x1, train, packed_depth=pd2)
+            x1, train, packed_depth=pd2, packed_block=pb2)
         x2 = ConvBnReLU(64, dtype=self.dtype, name="conv3")(
-            c2, train, packed_depth=pd2)
+            c2, train, packed_depth=pd2, packed_block=pb2)
         x2 = ConvBnReLU(64, dtype=self.dtype, name="conv4")(
-            x2, train, packed_depth=pd2)
+            x2, train, packed_depth=pd2, packed_block=pb2)
         c4 = ConvBnReLU(64, dtype=self.dtype, name="conv4a")(
-            x2, train, packed_depth=pd2)
+            x2, train, packed_depth=pd2, packed_block=pb2)
         c5 = c2 + ConvTransposeBnReLU(32, 3, 1, 1, 0, dtype=self.dtype,
                                       name="conv5")(c4, train,
-                                                    packed_depth=pd2)
+                                                    packed_depth=pd2,
+                                                    packed_block=pb2)
         c6 = c0 + ConvTransposeBnReLU(16, 3, 2, 1, 1, dtype=self.dtype,
                                       name="conv6")(c5, train,
-                                                    packed_depth=pd2)
+                                                    packed_depth=pd2,
+                                                    packed_block=pb2)
         out = TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
-                        name="prob0")(c6, packed_depth=pd1)
+                        name="prob0")(c6, packed_depth=pd1, packed_block=pb1)
         if packed:
             return jnp.transpose(out, (0, 3, 1, 2))       # [B, D, H, W]
+        if blocked:
+            return jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(b, d, h, w)
         return out[..., 0]
 
 

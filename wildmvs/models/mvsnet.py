@@ -61,19 +61,39 @@ class CostRegNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        c0 = ConvBnReLU(8, dtype=self.dtype, name="conv0")(x, train)
-        c1 = ConvBnReLU(16, strides=2, dtype=self.dtype, name="conv1")(c0, train)
-        c2 = ConvBnReLU(16, dtype=self.dtype, name="conv2")(c1, train)
-        c3 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv3")(c2, train)
-        c4 = ConvBnReLU(32, dtype=self.dtype, name="conv4")(c3, train)
-        c5 = ConvBnReLU(64, strides=2, dtype=self.dtype, name="conv5")(c4, train)
-        x = ConvBnReLU(64, dtype=self.dtype, name="conv6")(c5, train)
-        x = c4 + ConvTransposeBnReLU(32, dtype=self.dtype, name="conv7")(x, train)
-        x = c2 + ConvTransposeBnReLU(16, dtype=self.dtype, name="conv9")(x, train)
-        x = c0 + ConvTransposeBnReLU(8, dtype=self.dtype, name="conv11")(x, train)
+    def __call__(self, x, train: bool = False,
+                 packed_block: int | None = None):
+        # packed_block=p runs every conv BLOCK-depth-packed (nn/blocks.py):
+        # input [B, D/p, H, W, p*32], stride-2 levels halve p, so with p=16
+        # all four UNet levels contract exactly 128 packed channels on the
+        # MXU (16*8 / 8*16 / 4*32 / 2*64) instead of tiny-C matmuls over
+        # 16x-lane-padded activations. Same params, same math.
+        pb = packed_block
+        p1 = None if pb is None else pb // 2
+        p2 = None if p1 is None else p1 // 2
+        p3 = None if p2 is None else p2 // 2
+        c0 = ConvBnReLU(8, dtype=self.dtype, name="conv0")(
+            x, train, packed_block=pb)
+        c1 = ConvBnReLU(16, strides=2, dtype=self.dtype, name="conv1")(
+            c0, train, packed_block=pb)
+        c2 = ConvBnReLU(16, dtype=self.dtype, name="conv2")(
+            c1, train, packed_block=p1)
+        c3 = ConvBnReLU(32, strides=2, dtype=self.dtype, name="conv3")(
+            c2, train, packed_block=p1)
+        c4 = ConvBnReLU(32, dtype=self.dtype, name="conv4")(
+            c3, train, packed_block=p2)
+        c5 = ConvBnReLU(64, strides=2, dtype=self.dtype, name="conv5")(
+            c4, train, packed_block=p2)
+        x = ConvBnReLU(64, dtype=self.dtype, name="conv6")(
+            c5, train, packed_block=p3)
+        x = c4 + ConvTransposeBnReLU(32, dtype=self.dtype, name="conv7")(
+            x, train, packed_block=p3)
+        x = c2 + ConvTransposeBnReLU(16, dtype=self.dtype, name="conv9")(
+            x, train, packed_block=p2)
+        x = c0 + ConvTransposeBnReLU(8, dtype=self.dtype, name="conv11")(
+            x, train, packed_block=p1)
         return TorchConv(1, 3, 1, 1, use_bias=True, dtype=self.dtype,
-                         name="prob")(x)
+                         name="prob")(x, packed_block=pb)
 
 
 @register_model("mvsnet")
@@ -231,8 +251,21 @@ class MVSNet(nn.Module):
         # relayouting the two 4C gathered tensors (~2 GB/view) instead of
         # this single [B,D,H,W,C] volume
         cost_volume = jax.lax.optimization_barrier(cost_volume)
-        cost_reg = CostRegNet(dtype=self.dtype, name="cost_regularization")(
-            cost_volume, train)[..., 0]  # [B, D, H, W]
+        regnet = CostRegNet(dtype=self.dtype, name="cost_regularization")
+        if not train and not hyp_active and self.num_depth % 16 == 0:
+            # eval: run the 3D UNet BLOCK-depth-packed (p=16 -> every level
+            # contracts exactly 128 packed channels; see CostRegNet) — same
+            # params/math, rearranged matmuls
+            p, db = 16, self.num_depth // 16
+            c = cost_volume.shape[-1]
+            v = cost_volume.reshape(b, db, p, fh, fw, c)
+            v = jnp.transpose(v, (0, 1, 3, 4, 2, 5)).reshape(
+                b, db, fh, fw, p * c)
+            out = regnet(v, train, packed_block=p)      # [B, Db, H, W, p]
+            cost_reg = jnp.transpose(out, (0, 1, 4, 2, 3)).reshape(
+                b, self.num_depth, fh, fw)
+        else:
+            cost_reg = regnet(cost_volume, train)[..., 0]  # [B, D, H, W]
         prob_volume = nn.softmax(cost_reg, axis=1)
         depth = depth_regression(prob_volume, ref_depths)
         # confidence is a detached diagnostic (model.py:211 no_grad block)

@@ -125,6 +125,70 @@ def _conv_s2d(xp, kernel, pin, pout, stride, pad):
         dimension_numbers=dn)
 
 
+def _block_halo(x, ci, hl, hr):
+    """[B, Db, H, W, p*Ci] -> [B, Db, H, W, (hl+p+hr)*Ci]: prepend the last
+    hl planes of the previous block and append the first hr planes of the
+    next (zeros at the volume edges — the conv3d's depth zero-padding)."""
+    if hl == 0 and hr == 0:
+        return x
+    parts = []
+    if hl:
+        prev = jnp.pad(x[:, :-1, :, :, -hl * ci:],
+                       ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        parts.append(prev)
+    parts.append(x)
+    if hr:
+        nxt = jnp.pad(x[:, 1:, :, :, :hr * ci],
+                      ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        parts.append(nxt)
+    return jnp.concatenate(parts, -1)
+
+
+def _pack_kernel3d_block(kernel, p, sd, pd):
+    """3D kernel [kd, kh, kw, Ci, Co] -> halo-block 2D kernel for the
+    BLOCK-depth-packed conv (see TorchConv.packed_block): depth folded into
+    channels in blocks of p planes, block count constant across the net
+    (stride-2 depth halves p). Returns (w2 [kh, kw, (hl+p+hr)*Ci, pout*Co],
+    hl, hr, pout) with pout = p // sd and hl/hr the neighbor-plane halo."""
+    kd, kh, kw, ci, co = kernel.shape
+    assert p % sd == 0, (p, sd)
+    pout = p // sd
+    offs = [uo * sd - pd + kdi for uo in range(pout) for kdi in range(kd)]
+    hl, hr = max(0, -min(offs)), max(0, max(offs) - (p - 1))
+    assert hl <= p and hr <= p, (hl, hr, p)  # only immediate neighbors
+    w2 = jnp.zeros((kh, kw, (hl + p + hr) * ci, pout * co), kernel.dtype)
+    for uo in range(pout):
+        for kdi in range(kd):
+            d = uo * sd - pd + kdi + hl
+            w2 = w2.at[:, :, d * ci:(d + 1) * ci,
+                       uo * co:(uo + 1) * co].set(kernel[kdi])
+    return w2, hl, hr, pout
+
+
+def _pack_kernel3d_block_transpose(kernel, p, sd, pd, opd):
+    """Transposed-conv analogue of `_pack_kernel3d_block`: input plane d
+    feeds output plane d*sd + kd' - pd; pout = p*sd (requires
+    kd + opd - 2*pd == sd so blocks stay aligned)."""
+    kd, kh, kw, ci, co = kernel.shape
+    assert kd + opd - 2 * pd == sd, (kd, opd, pd, sd)
+    pout = p * sd
+    entries = []
+    for uo in range(pout):
+        for kdi in range(kd):
+            num = uo + pd - kdi
+            if num % sd:
+                continue
+            entries.append((num // sd, kdi, uo))
+    ds = [d for d, _, _ in entries]
+    hl, hr = max(0, -min(ds)), max(0, max(ds) - (p - 1))
+    assert hl <= p and hr <= p, (hl, hr, p)
+    w2 = jnp.zeros((kh, kw, (hl + p + hr) * ci, pout * co), kernel.dtype)
+    for d, kdi, uo in entries:
+        w2 = w2.at[:, :, (d + hl) * ci:(d + hl + 1) * ci,
+                   uo * co:(uo + 1) * co].set(kernel[kdi])
+    return w2, hl, hr, pout
+
+
 def _packed_out_depth(D, kd, sd, pd):
     """Output depth of a packed conv3d (see TorchConv.packed_depth)."""
     return (D + 2 * pd - kd) // sd + 1
@@ -189,11 +253,40 @@ class TorchConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, packed_depth: int | None = None,
-                 packed_s2d: tuple | None = None):
-        nd = 3 if packed_depth is not None else x.ndim - 2
+                 packed_s2d: tuple | None = None,
+                 packed_block: int | None = None):
+        nd = 3 if (packed_depth is not None or packed_block is not None) \
+            else x.ndim - 2
         k = _tup(self.kernel_size, nd)
         s = _tup(self.strides, nd)
         p = _tup(self.padding, nd)
+        if packed_block is not None:
+            # BLOCK-depth-packed conv3d: input [B, Db, H, W, p*Ci] with the
+            # depth folded into channels in Db blocks of p planes. One dense
+            # 2D conv per call (blocks batched) with a halo-plane concat for
+            # the cross-block depth taps — same params/math as the unpacked
+            # conv3d, but the MXU contracts (hl+p+hr)*Ci >= 128 channels
+            # instead of the tiny-C matmuls that run at ~3% utilization.
+            pb = packed_block
+            b, db, h, w, pc = x.shape
+            ci = pc // pb
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                k + (ci, self.features), jnp.float32)
+            w2, hl, hr, pout = _pack_kernel3d_block(
+                kernel.astype(self.dtype), pb, s[0], p[0])
+            xh = _block_halo(x.astype(self.dtype), ci, hl, hr)
+            dn = jax.lax.conv_dimension_numbers(
+                (b * db,) + xh.shape[2:], w2.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                xh.reshape((b * db,) + xh.shape[2:]), w2,
+                window_strides=s[1:],
+                padding=[(p[1], p[1]), (p[2], p[2])], dimension_numbers=dn)
+            y = y.reshape((b, db) + y.shape[1:])
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + jnp.tile(bias.astype(self.dtype), pout)
+            return y
         if packed_depth is not None:
             D = packed_depth
             ci = x.shape[-1] // D
@@ -310,17 +403,44 @@ class TorchConvTranspose(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, packed_depth: int | None = None):
-        nd = 3 if packed_depth is not None else x.ndim - 2
+    def __call__(self, x, packed_depth: int | None = None,
+                 packed_block: int | None = None):
+        nd = 3 if (packed_depth is not None or packed_block is not None) \
+            else x.ndim - 2
         k = _tup(self.kernel_size, nd)
         s = _tup(self.strides, nd)
         p = _tup(self.padding, nd)
         op = _tup(self.output_padding, nd)
-        in_ch = x.shape[-1] if packed_depth is None \
-            else x.shape[-1] // packed_depth
+        if packed_depth is not None:
+            in_ch = x.shape[-1] // packed_depth
+        elif packed_block is not None:
+            in_ch = x.shape[-1] // packed_block
+        else:
+            in_ch = x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), k + (in_ch, self.features),
             jnp.float32)
+        if packed_block is not None:
+            # block-depth-packed transposed conv3d (see TorchConv)
+            pb = packed_block
+            b, db, h, w, _ = x.shape
+            w2, hl, hr, pout = _pack_kernel3d_block_transpose(
+                kernel.astype(self.dtype), pb, s[0], p[0], op[0])
+            w2 = jnp.flip(w2, axis=(0, 1))
+            xh = _block_halo(x.astype(self.dtype), in_ch, hl, hr)
+            pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in (1, 2)]
+            dn = jax.lax.conv_dimension_numbers(
+                (b * db,) + xh.shape[2:], w2.shape, ("NHWC", "HWIO", "NHWC"))
+            y = jax.lax.conv_general_dilated(
+                xh.reshape((b * db,) + xh.shape[2:]), w2,
+                window_strides=(1, 1), padding=pads, lhs_dilation=s[1:],
+                dimension_numbers=dn)
+            y = y.reshape((b, db) + y.shape[1:])
+            if self.use_bias:
+                bias = self.param("bias", nn.initializers.zeros,
+                                  (self.features,), jnp.float32)
+                y = y + jnp.tile(bias.astype(self.dtype), pout)
+            return y
         if packed_depth is not None:
             # depth-packed transposed conv3d (see TorchConv.packed_depth)
             D = packed_depth
@@ -395,16 +515,20 @@ class ConvBnReLU(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False,
                  packed_depth: int | None = None,
-                 packed_s2d: tuple | None = None):
+                 packed_s2d: tuple | None = None,
+                 packed_block: int | None = None):
         x = TorchConv(self.features, self.kernel_size, self.strides,
                       self.padding, dtype=self.dtype, name="conv")(
-            x, packed_depth=packed_depth, packed_s2d=packed_s2d)
+            x, packed_depth=packed_depth, packed_s2d=packed_s2d,
+            packed_block=packed_block)
         if packed_depth is not None:
             packed_depth = _packed_out_depth(
                 packed_depth, _tup(self.kernel_size, 3)[0],
                 _tup(self.strides, 3)[0], _tup(self.padding, 3)[0])
         elif packed_s2d is not None:
             packed_depth = packed_s2d[1] ** 2  # BN groups = out subpixels
+        elif packed_block is not None:
+            packed_depth = packed_block // _tup(self.strides, 3)[0]
         x = BatchNorm(dtype=self.dtype, name="bn")(x, train,
                                                    packed_depth=packed_depth)
         return nn.relu(x) if self.relu else x
@@ -422,16 +546,19 @@ class ConvTransposeBnReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False,
-                 packed_depth: int | None = None):
+                 packed_depth: int | None = None,
+                 packed_block: int | None = None):
         x = TorchConvTranspose(self.features, self.kernel_size, self.strides,
                                self.padding, self.output_padding,
                                dtype=self.dtype, name="deconv")(
-            x, packed_depth=packed_depth)
+            x, packed_depth=packed_depth, packed_block=packed_block)
         if packed_depth is not None:
             packed_depth = _packed_out_depth_transpose(
                 packed_depth, _tup(self.kernel_size, 3)[0],
                 _tup(self.strides, 3)[0], _tup(self.padding, 3)[0],
                 _tup(self.output_padding, 3)[0])
+        elif packed_block is not None:
+            packed_depth = packed_block * _tup(self.strides, 3)[0]
         x = BatchNorm(dtype=self.dtype, name="bn")(x, train,
                                                    packed_depth=packed_depth)
         return nn.relu(x) if self.relu else x
