@@ -195,22 +195,28 @@ def test_ragged_view_sizes(rng, arch):
 def test_masked_median_matches_sort():
     """The bit-bisection order statistic used by cal_depth_hypo's median
     (ops/select.py) must equal sorted(x[valid])[(nvalid-1)//2] exactly —
-    incl. duplicates, zeros, +inf, and partial masks."""
+    incl. duplicates, zeros, +-inf, negatives, NaN payloads, and partial
+    masks (NaN counts as invalid regardless of the mask)."""
     from wildmvs.ops.select import masked_kth_smallest, masked_median
     rng = np.random.default_rng(7)
     for n in [1, 5, 1000, 4096]:
         x = rng.gamma(0.7, 10.0, size=n).astype(np.float32)
+        x *= np.where(rng.random(n) < 0.4, -1.0, 1.0)   # signed inputs
         x[rng.random(n) < 0.05] = np.inf
+        x[rng.random(n) < 0.05] = -np.inf
         x[rng.random(n) < 0.1] = 0.0          # duplicates at zero
         x[rng.random(n) < 0.2] = x[0]         # duplicated values
         valid = rng.random(n) < 0.8
+        if n > 1:                              # NaNs must be skipped even
+            x[-1] = np.nan                     # when the mask says valid
+            valid[-1] = True
         valid[0] = True                        # keep nvalid >= 1
-        sel = np.sort(x[valid])
+        x[0] = abs(x[0]) if np.isfinite(x[0]) else 1.0
+        sel = np.sort(x[valid & ~np.isnan(x)])
         got = float(masked_median(jnp.asarray(x), jnp.asarray(valid)))
         want = float(sel[(len(sel) - 1) // 2])
-        assert got == want or (np.isinf(got) and np.isinf(want)), (n, got, want)
+        assert got == want, (n, got, want)  # inf==inf is sign-exact
         for k in [0, len(sel) - 1, len(sel) // 3]:
             gk = float(masked_kth_smallest(jnp.asarray(x), jnp.asarray(valid),
                                            jnp.int32(k)))
-            assert gk == float(sel[k]) or (
-                np.isinf(gk) and np.isinf(sel[k])), (n, k, gk, sel[k])
+            assert gk == float(sel[k]), (n, k, gk, sel[k])

@@ -197,3 +197,41 @@ def test_vis_mvsnet_pair_and_slab_sharding_matches_unsharded():
                        )(v, args)
         d_sh = jax.device_get(d_sh)
     assert float(jnp.abs(d_ref - d_sh).max()) < 1e-4
+
+
+def test_cvp_hyp_slab_sharding_matches_unsharded():
+    """Metamorphic: CVP-MVSNet with the coarse full sweep's 96-hypothesis
+    depth axis sharded over `hyp` equals the unsharded eval forward (the
+    variance aggregation is associative over depth slabs; the refinement
+    levels stay unsharded)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from wildmvs.dist.mesh import make_mesh
+    from wildmvs.models import build_model
+
+    rng = np.random.default_rng(11)
+    b, n, h, w = 1, 3, 32, 64
+    imgs = jnp.array(rng.random((b, n, h, w, 3)).astype(np.float32))
+    K = np.array([[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]], np.float32)
+    K = jnp.array(np.tile(K, (b, n, 1, 1)))
+    R = jnp.array(np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1)))
+    t = np.zeros((b, n, 3, 1), np.float32)
+    for i in range(n):
+        t[:, i, 0, 0] = 0.05 * i
+    t = jnp.array(t)
+    dmin = jnp.full((b, n), 2.0)
+    dmax = jnp.full((b, n), 6.0)
+    args = (imgs, K, R, t, dmin, dmax)
+
+    m_ref = build_model("cvp_mvsnet", nscale=2)
+    v = m_ref.init(jax.random.PRNGKey(0), *args, train=False)
+    d_ref = m_ref.apply(v, *args, train=False)["depth"]
+
+    mesh = make_mesh(data=2, view=1, hyp=4, devices=jax.devices())
+    m_sh = build_model("cvp_mvsnet", nscale=2, hyp_axis="hyp")
+    with jax.set_mesh(mesh):
+        d_sh = jax.jit(lambda v, a: m_sh.apply(v, *a, train=False)["depth"]
+                       )(v, args)
+        d_sh = jax.device_get(d_sh)
+    assert float(jnp.abs(d_ref - d_sh).max()) < 1e-4

@@ -235,6 +235,12 @@ class CVPMVSNet(nn.Module):
     Parity: frontend.py:10-38 + net.py:88-229."""
     nscale: int = 2            # train default (net.py:94); eval 4/5
     batched_bn: bool = False   # (no BN in CVP's extractor; kept for symmetry)
+    # mesh axis to shard the coarse full sweep's depth-hypothesis dimension
+    # over (same slab sharding as MVSNet — the variance aggregation is
+    # associative over depth and the coarse level carries 96 hypotheses at
+    # eval). The refinement levels (8 per-pixel hypotheses) stay unsharded.
+    # Requires an ambient mesh (jax.set_mesh) carrying the axis.
+    hyp_axis: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -303,12 +309,20 @@ class CVPMVSNet(nn.Module):
 
         from ..ops.volumes import variance_cost_volume
 
+        hyp_active = False
+        if self.hyp_axis is not None:
+            from jax.sharding import get_abstract_mesh
+            m = get_abstract_mesh()
+            hyp_active = (m is not None
+                          and self.hyp_axis in getattr(m, "axis_names", ()))
+
         def level_cost(flevel, proj, hyp, fh, fw):
             """Variance cost volume for one pyramid level: the Mosaic
             streamed kernel (ops/mosaic_sweep.py, ~3.5-5x the gather at
             eval sizes, runtime exact-fallback cond) when eligible, else
-            the exact XLA gather."""
-            if not train and not ragged:
+            the exact XLA gather (always under hyp-slab sharding —
+            pallas_call does not partition over the depth axis)."""
+            if not train and not ragged and not hyp_active:
                 from ..ops.mosaic_sweep import (mosaic_px_supported,
                                                 variance_volume_mosaic_px)
                 if mosaic_px_supported((fh, fw), flevel[0].dtype):
@@ -332,6 +346,12 @@ class CVPMVSNet(nn.Module):
         fcoarse = feats[nscale - 1]
         fh, fw = fcoarse[0].shape[1:3]
         cost = level_cost(fcoarse, proj, depth_hypos, fh, fw)
+        if hyp_active:
+            from jax.sharding import PartitionSpec
+            # slab-shard the coarse sweep: warp + Σ/Σ² partition over depth,
+            # SPMD inserts the softmax/regression collectives
+            cost = jax.lax.with_sharding_constraint(
+                cost, PartitionSpec(None, self.hyp_axis))
         # keep the 3D-reg convs' D-in-lanes layout from propagating into the
         # warp gather (same measured win as mvsnet.py:204)
         cost = jax.lax.optimization_barrier(cost)
