@@ -3,14 +3,17 @@
 Primary metric: the flagship forward (MVSNet, N=3 views, 512x640, 192 depth
 hypotheses — the reference's DTU training configuration,
 data/dtu_yao.py:41-42 + models/MVSNet/model.py:98).  The same JSON line also
-carries the other two architecture families at their eval configurations
-(vis_mvsnet: depth_nums [64,32,16] x interval_scales [2,1,0.5] at the
-pipeline's input downscale 2, evaluation/pipeline_utils.py:133-154;
-cvp_mvsnet: nscale=5 pyramid, 96 coarse hypotheses, epipolar per-pixel
-intervals, models/CVP_MVSNet/models/net.py:127) so the per-round record
-tracks the whole model zoo, and prints ONE JSON line:
-  {"metric": ..., "value": ..., "unit": "depthmaps/s", "vs_baseline": ...,
-   "vis_mvsnet_maps_s": ..., "cvp_mvsnet_maps_s": ...}
+carries the other two architecture families at their training-res eval
+configurations plus all three at the TRUE DTU eval-protocol resolutions
+(full-res 1200x1600 /32-cropped to 1152x1600, nviews=5,
+data/dtu_yao_eval.py + evaluation/pipeline_utils.py:43; per-arch input
+downscales from evaluation/pipeline_utils.py:133-154: mvsnet /4 -> 288x400,
+vis_mvsnet /2 -> 576x800, cvp_mvsnet full res at nscale=5).
+
+Timeout-proofing: a complete JSON record line is printed (flushed) after
+EVERY measurement, starting with the headline — the driver parses the last
+complete line, so a timeout mid-extras can never lose the round's record
+(the round-2 failure mode: BENCH_r02.json rc=124, parsed=null).
 
 vs_baseline normalizes by the reference torch implementation's estimated
 A100 throughput for the identical config.  Derivation (BASELINE.md
@@ -31,8 +34,10 @@ BASELINE_DEPTHMAPS_PER_S = 8.4
 SWEEP_METHOD = os.environ.get("WILDMVS_BENCH_METHOD", "auto")
 
 # set WILDMVS_BENCH_EXTRAS=0 to skip the vis/cvp measurements (faster runs
-# while iterating on the headline kernel)
+# while iterating on the headline kernel); WILDMVS_BENCH_EVALRES=0 to skip
+# the eval-protocol-resolution measurements
 EXTRAS = os.environ.get("WILDMVS_BENCH_EXTRAS", "1") != "0"
+EVALRES = os.environ.get("WILDMVS_BENCH_EVALRES", "1") != "0"
 
 
 def scene(b, n, h, w, f):
@@ -103,6 +108,13 @@ def main():
     def note(msg):
         print(msg, file=sys.stderr, flush=True)
 
+    record = {}
+
+    def emit():
+        # one complete record line per measurement; the driver keeps the
+        # last complete JSON line, so progress is never lost to a timeout
+        print(json.dumps(record), flush=True)
+
     # ---- headline: MVSNet 512x640 D192 N3, bf16 compute ----
     note("bench: compiling/timing mvsnet headline ...")
     args = scene(1, 3, 512, 640, 720.0)
@@ -111,31 +123,48 @@ def main():
     dt = time_model(model, args, {}, iters=10)
     value = 1.0 / dt
 
-    record = {
+    record.update({
         "metric": "mvsnet_depthmap_inference_512x640_D192_N3",
         "value": round(value, 3),
         "unit": "depthmaps/s",
         "vs_baseline": round(value / BASELINE_DEPTHMAPS_PER_S, 3),
-    }
+    })
     note(f"bench: headline {record['value']} maps/s")
+    emit()
+
+    def measure(key, fn):
+        try:
+            note(f"bench: compiling/timing {key} ...")
+            record[key] = round(fn(), 3)
+            note(f"bench: {key} = {record[key]}")
+        except Exception as e:  # never lose prior fields to one crash
+            record[f"{key}_error"] = str(e)[:200]
+        emit()
 
     if EXTRAS:
-        try:
-            note("bench: compiling/timing vis_mvsnet ...")
-            vis = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
-                              interval_scales=(2.0, 1.0, 0.5),
-                              dtype=jnp.bfloat16)
-            # 256x320 = the pipeline's downscale-2 of 512x640
-            dt = time_model(vis, scene(1, 3, 256, 320, 360.0), {}, iters=6)
-            record["vis_mvsnet_maps_s"] = round(1.0 / dt, 3)
-            note("bench: compiling/timing cvp_mvsnet ...")
-            cvp = build_model("cvp_mvsnet", dtype=jnp.bfloat16)
-            dt = time_model(cvp, args, {"nscale": 5}, iters=6)
-            record["cvp_mvsnet_maps_s"] = round(1.0 / dt, 3)
-        except Exception as e:  # never lose the headline to an extras crash
-            record["extras_error"] = str(e)[:200]
+        # training-res zoo configs (round-over-round comparable fields)
+        measure("vis_mvsnet_maps_s", lambda: 1.0 / time_model(
+            build_model("vis_mvsnet", depth_nums=(64, 32, 16),
+                        interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
+            scene(1, 3, 256, 320, 360.0), {}, iters=6))
+        measure("cvp_mvsnet_maps_s", lambda: 1.0 / time_model(
+            build_model("cvp_mvsnet", dtype=jnp.bfloat16),
+            args, {"nscale": 5}, iters=6))
 
-    print(json.dumps(record))
+    if EVALRES:
+        # true DTU eval-protocol resolutions (1152x1600 /32-cropped, N=5;
+        # per-arch downscale per evaluation/pipeline_utils.py:133-154)
+        measure("mvsnet_eval_288x400_N5_maps_s", lambda: 1.0 / time_model(
+            build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
+                        sweep_method=SWEEP_METHOD),
+            scene(1, 5, 288, 400, 360.0), {}, iters=10))
+        measure("vis_eval_576x800_N5_maps_s", lambda: 1.0 / time_model(
+            build_model("vis_mvsnet", depth_nums=(64, 32, 16),
+                        interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
+            scene(1, 5, 576, 800, 1000.0), {}, iters=4))
+        measure("cvp_eval_1152x1600_N5_maps_s", lambda: 1.0 / time_model(
+            build_model("cvp_mvsnet", dtype=jnp.bfloat16),
+            scene(1, 5, 1152, 1600, 2000.0), {"nscale": 5}, iters=3))
 
 
 if __name__ == "__main__":
