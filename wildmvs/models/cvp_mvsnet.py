@@ -216,8 +216,10 @@ def cal_depth_hypo(ref_depth, K_ref, K_src, R_ref, t_ref, R_src, t_src,
         abs_dd = jnp.abs(delta_d)
         # median over valid pixels (torch.median rank (nvalid-1)//2,
         # modules.py:216) — exact order statistic via bit-pattern bisection
-        # (ops/select.py) instead of an O(n log^2 n) TPU sort
-        nvalid = jnp.sum(valid)
+        # (ops/select.py) instead of an O(n log^2 n) TPU sort.  NaN entries
+        # are invalid under masked_median's contract, so exclude them from
+        # the guard count too: all-NaN-valid must take the fallback interval.
+        nvalid = jnp.sum(valid & ~jnp.isnan(abs_dd))
         med = jnp.where(
             nvalid > 0,
             masked_median(abs_dd, valid),
@@ -316,13 +318,15 @@ class CVPMVSNet(nn.Module):
             hyp_active = (m is not None
                           and self.hyp_axis in getattr(m, "axis_names", ()))
 
-        def level_cost(flevel, proj, hyp, fh, fw):
+        def level_cost(flevel, proj, hyp, fh, fw, sharded=False):
             """Variance cost volume for one pyramid level: the Mosaic
             streamed kernel (ops/mosaic_sweep.py, ~3.5-5x the gather at
             eval sizes, runtime exact-fallback cond) when eligible, else
-            the exact XLA gather (always under hyp-slab sharding —
-            pallas_call does not partition over the depth axis)."""
-            if not train and not ragged and not hyp_active:
+            the exact XLA gather.  Only the slab-sharded call (the coarse
+            full sweep under hyp_axis) must skip the kernel — pallas_call
+            does not partition over the depth axis; the unsharded
+            refinement levels keep the fast path regardless."""
+            if not train and not ragged and not sharded:
                 from ..ops.mosaic_sweep import (mosaic_px_supported,
                                                 variance_volume_mosaic_px)
                 if mosaic_px_supported((fh, fw), flevel[0].dtype):
@@ -345,7 +349,8 @@ class CVPMVSNet(nn.Module):
         proj = level_proj(nscale - 1)
         fcoarse = feats[nscale - 1]
         fh, fw = fcoarse[0].shape[1:3]
-        cost = level_cost(fcoarse, proj, depth_hypos, fh, fw)
+        cost = level_cost(fcoarse, proj, depth_hypos, fh, fw,
+                          sharded=hyp_active)
         if hyp_active:
             from jax.sharding import PartitionSpec
             # slab-shard the coarse sweep: warp + Σ/Σ² partition over depth,
