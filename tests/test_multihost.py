@@ -1,14 +1,18 @@
 """Multi-host training wiring — per-process dataset sharding and global
-batch assembly, validated on the single-process virtual mesh.
-
-Real multi-process rendezvous can't run here (one host); what CAN be proven
-is the invariant that makes multi-host training correct: the per-process
-local orders are disjoint, cover every global batch exactly, and the arrays
-assembled from local shards equal the single-host sharded batch — so the
-SPMD train step (whose gradient psum is host-count agnostic) computes the
-identical global step. Parity: DistributedSampler sharding + DDP
-(train.py:112-136) replaced by dist.mesh.process_local_order + shard_batch.
+batch assembly, validated two ways: (a) single-process invariants — the
+per-process local orders are disjoint, cover every global batch exactly,
+and arrays assembled from local shards equal the single-host sharded batch;
+(b) a REAL 2-process `jax.distributed` rendezvous over localhost
+(tools/multiproc_rendezvous.py — the TPU-native replacement for the
+reference's mp.spawn + gloo process group, train.py:315 / :52-62), whose
+one-step result must equal the single-process step. Parity:
+DistributedSampler sharding + DDP (train.py:112-136) replaced by
+dist.mesh.process_local_order + shard_batch.
 """
+import subprocess
+import sys
+from pathlib import Path
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -103,3 +107,34 @@ def test_data_parallel_step_on_assembled_batch_matches_single():
                             for a, b in zip(leaves_a, leaves_b)])
     assert np.mean(diffs < 2e-5) > 0.999, np.mean(diffs < 2e-5)
     assert diffs.max() < 2.5 * cfg.lr, diffs.max()
+
+
+def test_two_process_rendezvous_matches_single(tmp_path):
+    """REAL multi-process coordinator path: two subprocesses, 4 virtual CPU
+    devices each, rendezvous via jax.distributed over localhost, shared
+    permutation -> disjoint local shards -> global batch assembly -> one DP
+    train step; fetched loss and params must equal the single-process step
+    (see tools/multiproc_rendezvous.py for the tolerance rationale).
+
+    Recorded reference run (this host, 2026-08-20):
+      {"ok": true, "loss_single": 15.472230, "loss_2proc": 15.472231,
+       "param_diff_max": 1.95e-3, "param_frac_tight": 0.999994}
+    """
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    import multiproc_rendezvous as MR
+
+    (single,) = MR.launch(1, tmp_path, timeout=600)
+    pair = MR.launch(2, tmp_path, timeout=600)
+    s = np.load(single)
+    a, b = (np.load(p) for p in pair)
+    # both processes fetch the same replicated global state: bitwise equal
+    np.testing.assert_array_equal(a["params"], b["params"])
+    assert a["loss"] == b["loss"]
+    # vs single process: same global computation up to psum reduction order;
+    # Adam amplifies near-zero-moment noise to ~2*lr per element (see
+    # test_data_parallel_step_on_assembled_batch_matches_single)
+    assert abs(float(a["loss"]) - float(s["loss"])) < 1e-5 * max(
+        1.0, abs(float(s["loss"])))
+    diffs = np.abs(a["params"] - s["params"])
+    assert np.mean(diffs < 2e-5) > 0.999, np.mean(diffs < 2e-5)
+    assert diffs.max() < 2.5e-3, diffs.max()

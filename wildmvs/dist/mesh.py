@@ -96,6 +96,15 @@ def shard_batch(batch: dict, mesh: Mesh, from_local: Optional[bool] = None
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (parameters / optimizer state) on the mesh."""
+    """Fully replicate a pytree (parameters / optimizer state) on the mesh.
+
+    Multi-process: every process holds the identical host value (same-seed
+    init), so assembly goes through make_array_from_process_local_data with
+    a fully-replicated spec — device_put cannot target non-addressable
+    devices."""
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda v: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)), tree)
     return jax.device_put(tree, sharding)
