@@ -280,3 +280,94 @@ def test_cost_volume_mosaic_softmin_interpret(monkeypatch):
     assert cv.shape == want.shape
     assert np.abs(np.asarray(cv, np.float32)
                   - np.asarray(want, np.float32)).max() < 0.15
+
+
+def test_fused_cost_volume_variance_interpret():
+    """v3 fused multi-view kernel (in-register Sum/Sum^2) == the gather
+    variance volume, for uniform AND per-pixel hypotheses."""
+    from wildmvs.ops.mosaic_sweep import fused_cost_volume_px
+    from wildmvs.ops.volumes import variance_cost_volume
+
+    B, N, H, W, C = 1, 3, 16, 40, 8
+    rng = np.random.default_rng(11)
+    feats = [jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+             for _ in range(N)]
+    src_proj, ref_proj = _rig(H, W)
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+
+    D = 12
+    uniform = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+    base = 600.0 + 30.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 10.0 * np.cos(np.linspace(0, 2, W))[None, :]
+    perpix = jnp.asarray((base[None] + np.linspace(-15, 15, 6)[:, None, None]
+                          ).astype(np.float32))[None]
+
+    for hyp in (uniform, perpix):
+        Dh = hyp.shape[1]
+        cv = fused_cost_volume_px(feats, proj, hyp, (H, W), agg="variance",
+                                  KR=18, interpret=True)
+        fns = [(lambda i=i: plane_sweep_warp(feats[i], proj[:, i],
+                                             proj[:, 0], hyp, (H, W)))
+               for i in (1, 2)]
+        want = variance_cost_volume(feats[0], warp_fns=fns, num_depth=Dh)
+        assert cv.shape == want.shape == (B, Dh, H, W, C)
+        assert np.abs(np.asarray(cv, np.float32)
+                      - np.asarray(want, np.float32)).max() < 0.15
+
+
+def test_fused_cost_volume_softmin_interpret():
+    from wildmvs.ops.mosaic_sweep import fused_cost_volume_px
+    from wildmvs.ops.volumes import softmin_cost_volume
+
+    B, N, H, W, C, D = 1, 3, 16, 40, 8, 12
+    rng = np.random.default_rng(12)
+    feats = [jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+             for _ in range(N)]
+    src_proj, ref_proj = _rig(H, W)
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+    temp = jnp.ones((1,), jnp.float32)
+
+    cv = fused_cost_volume_px(feats, proj, depths, (H, W), agg="softmin",
+                              temp=temp, KR=18, interpret=True)
+    fns = [(lambda i=i: plane_sweep_warp(feats[i], proj[:, i], proj[:, 0],
+                                         depths, (H, W))) for i in (1, 2)]
+    want = softmin_cost_volume(feats[0], warp_fns=fns, temperature=temp)
+    assert cv.shape == want.shape
+    assert np.abs(np.asarray(cv, np.float32)
+                  - np.asarray(want, np.float32)).max() < 0.15
+
+
+def test_fused_cost_volume_falls_back_when_window_exceeded():
+    """A window too small for the geometry must dispatch to the exact
+    fallback, bit-identical to the gather aggregation."""
+    from wildmvs.ops.mosaic_sweep import fused_cost_volume_px
+    from wildmvs.ops.volumes import variance_cost_volume
+
+    B, N, H, W, C, D = 1, 3, 16, 40, 8, 12
+    rng = np.random.default_rng(13)
+    feats = [jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.bfloat16)
+             for _ in range(N)]
+    src_proj, ref_proj = _rig(H, W, roll=0.3)   # big in-plane rotation
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+
+    # sentinel fallback proves the dispatch took the exact path
+    sentinel = fused_cost_volume_px(
+        feats, proj, depths, (H, W), agg="variance", KY=2, KR=4, DC=12,
+        fallback=lambda bb: jnp.full((D, H, W, C), -7.0, jnp.bfloat16),
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sentinel, np.float32), -7.0)
+
+    # and the default fallback is the gather aggregation (same math; XLA
+    # may fuse the branch differently -> bf16-ulp tolerance, not bitwise)
+    cv = fused_cost_volume_px(feats, proj, depths, (H, W), agg="variance",
+                              KY=2, KR=4, DC=12, interpret=True)
+    fns = [(lambda i=i: plane_sweep_warp(feats[i], proj[:, i], proj[:, 0],
+                                         depths, (H, W))) for i in (1, 2)]
+    want = variance_cost_volume(feats[0], warp_fns=fns, num_depth=D)
+    assert np.abs(np.asarray(cv, np.float32)
+                  - np.asarray(want, np.float32)).max() < 0.05

@@ -423,13 +423,19 @@ def vis_planes(K_ref, R_ref, t_ref, K_src, R_src, t_src,
 
 def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
                    svals: jnp.ndarray, src_hw: tuple[int, int],
-                   sx: float = 1.0, sy: float = 1.0):
+                   sx: float = 1.0, sy: float = 1.0,
+                   dc: int | None = None):
     """Window plan for the per-pixel kernel (coords = (P*s + Q)/(Pz*s+Qz)).
 
     svals: [D] or [D, H, W]. Returns dict with ybase/xtb [D, H, XC] i32,
     wb [HB] i32, and the exactness stats (yspan, xover, wspan int32
     scalars): exact iff yspan <= KY-1, xover <= 0 (per-chunk max corner col
     inside its 2-tile window), wspan <= KR - KY.
+
+    dc: depth-chunk size for the fused kernel — the window is then computed
+    per (depth chunk, row block) (wb [D//dc, HB], wspan the max over
+    chunks), so consecutive planes share one DMA'd slab instead of one
+    window having to cover all D planes.
     """
     h, w = src_hw
     d = svals.shape[0]
@@ -474,15 +480,22 @@ def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
     xhi = jnp.where(xmax < -big / 2, 0.0, xmax)
     xover = (xhi - ((xtb + 2) * LANES - 1).astype(jnp.float32)) \
         .max().astype(jnp.int32)
-    # per row-block: window rows needed across ALL depth planes
+    # per row-block (and optionally per depth-chunk): window rows needed
     hb = rh // RB
-    yb_blk = ymin.reshape(d, hb, RB, xc)
-    ye_blk = ymax.reshape(d, hb, RB, xc)
-    wlo = jnp.min(jnp.where(yb_blk > big / 2, big, yb_blk), (0, 2, 3))
-    whi = jnp.max(jnp.where(ye_blk < -big / 2, -big, ye_blk), (0, 2, 3))
+    if dc is None:
+        yb_blk = ymin.reshape(d, hb, RB, xc)
+        ye_blk = ymax.reshape(d, hb, RB, xc)
+        red = (0, 2, 3)
+    else:
+        assert d % dc == 0, (d, dc)
+        yb_blk = ymin.reshape(d // dc, dc, hb, RB, xc)
+        ye_blk = ymax.reshape(d // dc, dc, hb, RB, xc)
+        red = (1, 3, 4)
+    wlo = jnp.min(jnp.where(yb_blk > big / 2, big, yb_blk), red)
+    whi = jnp.max(jnp.where(ye_blk < -big / 2, -big, ye_blk), red)
     wspan = jnp.maximum(whi - wlo, 0.0).max().astype(jnp.int32)
-    wb = jnp.where(wlo > big / 2, 0.0, wlo).astype(jnp.int32)  # [HB]
-    return dict(ybase=ybase, xtb=xtb, wb=wb,
+    wb = jnp.where(wlo > big / 2, 0.0, wlo).astype(jnp.int32)
+    return dict(ybase=ybase, xtb=xtb, wb=wb,   # wb [HB] or [D//dc, HB]
                 yspan=yspan, xover=xover, wspan=wspan)
 
 
@@ -556,16 +569,327 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
     return out[..., :W]
 
 
+# ---------------------------------------------------------------------------
+# v3: FUSED multi-view cost-volume kernel.
+#
+# The v1/v2 kernels write a [D, H, C, W] warped volume per source view that
+# the XLA aggregation then re-reads (2 full-volume writes + reads per view
+# against a ~2.5 ms write-only floor — BASELINE.md round-2 headline
+# accounting). v3 loops the source views INSIDE the kernel and accumulates
+# the aggregation statistics in registers per 128-px chunk — variance
+# (Sum, Sum^2: models/MVSNet/model.py:113-139) or softmin (Sum e,
+# Sum e*diff: model.py:141-173) — so the only volume that ever touches HBM
+# is the final cost volume.
+#
+# Grid (D//DC, HB, DC), depth-minor: per (depth-chunk, row-block) the KR-row
+# table slab each view needs is DMA'd once and reused by the DC planes.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_fused(ybase_ref, xtb_ref, wb_ref, temp_ref,
+                  px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
+                  dmap_ref, ref_ref, table_ref, out_ref,
+                  win_ref, sem, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
+                  *, C, H, W, Ht, Wt, KY, KR, XC, NT, NV, DC, ROWS,
+                  sx, sy, agg):
+    do = pl.program_id(0)
+    yy = pl.program_id(1)
+    dp = pl.program_id(2)
+    DO = pl.num_programs(0)
+    HB = pl.num_programs(1)
+    C2 = C * 2
+    D = DO * DC
+    d_idx = do * DC + dp
+
+    # ---- per-(depth-chunk, row-block) window DMA, all views ----
+    @pl.when(dp == 0)
+    def _():
+        for v in range(NV):
+            wb = wb_ref[(v * DO + do) * HB + yy]
+            pltpu.make_async_copy(table_ref.at[v, :, pl.ds(wb, KR)],
+                                  win_ref.at[v], sem.at[v]).start()
+        for v in range(NV):
+            wb = wb_ref[(v * DO + do) * HB + yy]
+            pltpu.make_async_copy(table_ref.at[v, :, pl.ds(wb, KR)],
+                                  win_ref.at[v], sem.at[v]).wait()
+
+    # ---- per-view plans for this (plane, row block) ----
+    dmv = dmap_ref[0]                                  # [RB, Wp]
+    for v in range(NV):
+        rx = px_ref[v] * dmv + qx_ref[v]
+        ry = py_ref[v] * dmv + qy_ref[v]
+        rz = pz_ref[v] * dmv + qz_ref[v]
+        xs = jnp.where(rz > 0, rx / rz, -10.0) * sx
+        ys = jnp.where(rz > 0, ry / rz, -10.0) * sy
+        x0f = jnp.floor(xs)
+        y0f = jnp.floor(ys)
+        fxb = xs - x0f
+        fyb = ys - y0f
+        validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
+                  & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
+        ix_s[v] = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
+        iy_s[v] = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
+        vb = validb.astype(jnp.float32)
+        w00_s[v] = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+        w01_s[v] = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
+        w10_s[v] = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+        w11_s[v] = (fyb * fxb * vb).astype(jnp.bfloat16)
+
+    n_views = NV + 1
+    inv_n = jnp.float32(1.0 / n_views)
+    temp = temp_ref[0]
+
+    for r in range(RB):
+        for xc in range(XC):
+            ls = pl.ds(xc * LANES, LANES)
+            refq = ref_ref[r, :, ls].astype(jnp.float32)   # [C, 128]
+            if agg == "variance":
+                acc = refq
+                acc2 = refq * refq
+            else:
+                sum_exp = jnp.zeros((1, LANES), jnp.float32)
+                sum_val = jnp.zeros((C, LANES), jnp.float32)
+            for v in range(NV):
+                ix = ix_s[v, r, ls]
+                iy = iy_s[v, r, ls]
+                pi = ((v * D + d_idx) * ROWS + yy * RB + r) * XC + xc
+                ybase = ybase_ref[pi]
+                xtb = xtb_ref[pi]
+                wb = wb_ref[(v * DO + do) * HB + yy]
+                iyl = jnp.clip(iy - ybase, 0, KY - 1)
+                inwin = (iy - ybase) == iyl
+                idx = jnp.broadcast_to(ix[None], (C2, LANES))
+                ywin = jnp.clip(ybase - wb, 0, KR - KY)
+                sel = None
+                for k in range(KY):
+                    g = None
+                    for t in range(NT):
+                        tile = win_ref[v, xtb + t, ywin + k]
+                        base = (xtb + t) * LANES
+                        loc = jnp.clip(idx - base, 0, LANES - 1)
+                        gt = jnp.take_along_axis(tile, loc, axis=1)
+                        if g is None:
+                            g = gt
+                        else:
+                            use = (idx >= base) & (idx < base + LANES)
+                            g = jnp.where(use, gt, g)
+                    ok = jnp.broadcast_to((iyl == k)[None], (C2, LANES))
+                    sel = g if sel is None else jnp.where(ok, g, sel)
+                quad = pltpu.bitcast(sel, jnp.bfloat16)
+                mask = inwin.astype(jnp.bfloat16)[None]
+                warped = (quad[0 * C:1 * C] * w00_s[v, r, ls][None]
+                          + quad[1 * C:2 * C] * w01_s[v, r, ls][None]
+                          + quad[2 * C:3 * C] * w10_s[v, r, ls][None]
+                          + quad[3 * C:4 * C] * w11_s[v, r, ls][None]) * mask
+                wf = warped.astype(jnp.float32)
+                if agg == "variance":
+                    acc = acc + wf
+                    acc2 = acc2 + wf * wf
+                else:
+                    diff = (refq - wf) ** 2
+                    e = jnp.exp(-temp * jnp.sum(diff, axis=0, keepdims=True))
+                    sum_exp = sum_exp + e
+                    sum_val = sum_val + e * diff
+            if agg == "variance":
+                cv = acc2 * inv_n - (acc * inv_n) ** 2
+            else:
+                cv = sum_val / (sum_exp + 1e-6)
+            out_ref[0, r, :, ls] = cv.astype(out_ref.dtype)
+
+
+def _pick_dc(d: int, target: int = 32) -> int:
+    """Largest divisor of d that is <= target (depth planes per window)."""
+    for cand in range(min(d, target), 0, -1):
+        if d % cand == 0:
+            return cand
+    return 1
+
+
+def fused_window_rows(src_hw: tuple[int, int], c: int, nv: int,
+                      budget: int = 10 * 2 ** 20, KR: int = 48) -> int:
+    """Largest KR (<= requested) whose NV view windows fit the VMEM budget."""
+    h, w = src_hw
+    ht = h + 2
+    wt = ((w + 2 + LANES - 1) // LANES)
+    per_row = wt * 2 * c * LANES * 4 * nv
+    return max(0, min(KR, ht, budget // per_row))
+
+
+def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
+                         agg: str = "variance", temp=None,
+                         KY: int = 2, KR: int = 48, DC: int | None = None,
+                         fallback=None, interpret: bool = False):
+    """Fused multi-view aggregated cost volume with exact fallback.
+
+    Args:
+      feats_l: list of [B, h, w, C] bf16 features, REFERENCE FIRST (views
+        beyond index 0 are the sources, model order).
+      proj: [B, N, 4, 4] projections at feature resolution (same order).
+      ref_depths: [B, D] or [B, D, H, W] hypotheses.
+      ref_hw: (H, W) of the reference grid, H % 8 == 0.
+      agg: "variance" | "softmin" (temp = softmin temperature scalar).
+      fallback: fallback(bb) -> [D, H, W, C] exact cost volume for batch
+        element bb, taken when this element's spans exceed the kernel's
+        window (default: the XLA-gather aggregation).
+    Returns:
+      [B, D, H, W, C] cost volume (feature dtype).
+    """
+    from .plane_sweep import plane_sweep_warp
+    from .volumes import softmin_cost_volume, variance_cost_volume
+
+    n = len(feats_l)
+    NV = n - 1
+    b = feats_l[0].shape[0]
+    H, W = ref_hw
+    h, w = feats_l[1].shape[1:3]
+    D = ref_depths.shape[1]
+    DC = _pick_dc(D) if DC is None else DC
+    Ht = h + 2
+    KR = fused_window_rows((h, w), feats_l[0].shape[-1], NV, KR=KR)
+    XC = (W + LANES - 1) // LANES
+    Wp = XC * LANES
+    ROWS = H
+    HBn = H // RB
+    dtype = feats_l[0].dtype
+
+    if fallback is None:
+        def fallback(bb):
+            db = ref_depths[bb]
+            rp = proj[bb, 0]
+            fns = [(lambda i=i: plane_sweep_warp(
+                feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
+                db[None] if db.ndim == 1 else db[None], ref_hw))
+                for i in range(1, n)]
+            if agg == "variance":
+                cv = variance_cost_volume(feats_l[0][bb:bb + 1],
+                                          warp_fns=fns, num_depth=D)
+            else:
+                cv = softmin_cost_volume(feats_l[0][bb:bb + 1],
+                                         warp_fns=fns, temperature=temp)
+            return cv[0]
+
+    def one(bb):
+        db = ref_depths[bb]
+        rp = proj[bb, 0]
+        planes, plans = [], []
+        ok = None
+        for i in range(1, n):
+            P, Q, sx, sy = mvsnet_planes(proj[bb, i], rp, ref_hw)
+            plan = sweep_spans_px(P, Q, db, (h, w), dc=DC)
+            planes.append((P, Q))
+            plans.append(plan)
+            fit = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
+            if KR < Ht:
+                # KR == Ht == resident regime: the window IS the table, so
+                # the slab constraint vanishes
+                fit = fit & (plan["wspan"] <= KR - KY)
+            ok = fit if ok is None else ok & fit
+
+        def kernel_branch():
+            table = jnp.stack([build_corner_table_tiled(feats_l[i][bb])
+                               for i in range(1, n)])  # [NV, Wt, Ht, C2, L]
+            _, Wt, _, C2, _ = table.shape
+            C = C2 // 2
+            NT = min(2, Wt)
+            yb = jnp.stack([jnp.clip(p["ybase"], 0, Ht - KY) for p in plans])
+            xtb = jnp.stack([jnp.clip(p["xtb"], 0, Wt - NT) for p in plans])
+            wb = jnp.stack([jnp.clip(p["wb"], 0, Ht - KR) for p in plans])
+
+            def pad3(x, cval):
+                return jnp.pad(x, ((0, 0), (0, 0), (0, Wp - W)),
+                               constant_values=cval)
+
+            px = pad3(jnp.stack([P[0] for P, _ in planes]), 0.0)
+            py = pad3(jnp.stack([P[1] for P, _ in planes]), 0.0)
+            pz = pad3(jnp.stack([P[2] for P, _ in planes]), 0.0)
+            # Q pad must force z < 0 in pad lanes (see sweep_spans_px)
+            qx = pad3(jnp.stack([Q[0] for _, Q in planes]), -1e9)
+            qy = pad3(jnp.stack([Q[1] for _, Q in planes]), -1e9)
+            qz = pad3(jnp.stack([Q[2] for _, Q in planes]), -1e9)
+
+            if db.ndim == 1:
+                dmap = jnp.broadcast_to(
+                    db.astype(jnp.float32)[:, None, None], (D, H, Wp))
+            else:
+                dmap = jnp.pad(db.astype(jnp.float32),
+                               ((0, 0), (0, 0), (0, Wp - W)))
+            ref_chw = jnp.pad(
+                jnp.transpose(feats_l[0][bb], (0, 2, 1)),
+                ((0, 0), (0, 0), (0, Wp - W))).astype(jnp.bfloat16)
+            tempv = (jnp.zeros((1,), jnp.float32) if temp is None else
+                     jnp.reshape(jnp.asarray(temp, jnp.float32), (-1,))[:1])
+
+            kern = functools.partial(
+                _kernel_fused, C=C, H=h, W=w, Ht=Ht, Wt=Wt, KY=KY, KR=KR,
+                XC=XC, NT=NT, NV=NV, DC=DC, ROWS=ROWS, sx=1.0, sy=1.0,
+                agg=agg)
+
+            vrow = pl.BlockSpec((NV, RB, Wp),
+                                lambda do, yy, dp, *pf: (0, yy, 0))
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(D // DC, HBn, DC),
+                in_specs=[
+                    vrow, vrow, vrow, vrow, vrow, vrow,
+                    pl.BlockSpec(
+                        (1, RB, Wp),
+                        lambda do, yy, dp, *pf: (do * DC + dp, yy, 0)),
+                    pl.BlockSpec((RB, C, Wp),
+                                 lambda do, yy, dp, *pf: (yy, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, RB, C, Wp),
+                    lambda do, yy, dp, *pf: (do * DC + dp, yy, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((NV, Wt, KR, C2, LANES), jnp.int32),
+                    pltpu.SemaphoreType.DMA((NV,)),
+                    pltpu.VMEM((NV, RB, Wp), jnp.int32),
+                    pltpu.VMEM((NV, RB, Wp), jnp.int32),
+                    pltpu.VMEM((NV, RB, Wp), jnp.bfloat16),
+                    pltpu.VMEM((NV, RB, Wp), jnp.bfloat16),
+                    pltpu.VMEM((NV, RB, Wp), jnp.bfloat16),
+                    pltpu.VMEM((NV, RB, Wp), jnp.bfloat16),
+                ],
+            )
+            cv = pl.pallas_call(
+                kern,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), dtype),
+                interpret=interpret,
+            )(yb.reshape(-1), xtb.reshape(-1), wb.reshape(-1), tempv,
+              px, py, pz, qx, qy, qz, dmap, ref_chw, table)
+            return jnp.transpose(cv[..., :W], (0, 1, 3, 2))  # [D, H, W, C]
+
+        return jax.lax.cond(ok, kernel_branch, lambda: fallback(bb))
+
+    return jnp.stack([one(bb) for bb in range(b)])
+
+
+def fused_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
+                    c: int, nv: int, dtype, KY: int = 2) -> bool:
+    """Static eligibility of the fused multi-view kernel."""
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:
+        return False
+    return (dtype == jnp.bfloat16
+            and ref_hw[0] % RB == 0
+            and fused_window_rows(src_hw, c, nv) > KY)
+
+
 def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
                               KY: int = 2, KR: int = 48,
                               interpret: bool = False) -> jnp.ndarray:
-    """Variance cost volume via the streamed px kernel, exact fallback.
+    """Variance cost volume for per-pixel/full sweeps, fused kernel first.
 
     CVP-MVSNet's per-level aggregation (all levels: the coarse full sweep
-    and the per-pixel-hypothesis refinements). One runtime cond around the
-    whole aggregation per batch element; when KR covers the full table
-    height the window constraint vanishes (the DMA loads the whole table —
-    the resident regime).
+    and the per-pixel-hypothesis refinements). Round 3: delegates to the
+    v3 FUSED multi-view kernel (fused_cost_volume_px) — the source views
+    accumulate Sum/Sum^2 in-register instead of materializing a warped
+    volume per view; the exact XLA-gather aggregation remains the runtime
+    fallback behind the same one-cond-per-element dispatch.
 
     Args:
       feats_l: list of [B, h, w, C] bf16 features, reference FIRST.
@@ -575,62 +899,9 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
     Returns:
       [B, D, H, W, C] variance cost volume (feature dtype).
     """
-    from .plane_sweep import plane_sweep_warp
-    from .volumes import variance_cost_volume
-
-    n = len(feats_l)
-    b = feats_l[0].shape[0]
-    H, W = ref_hw
-    h, w = feats_l[1].shape[1:3]
-    Ht = h + 2
-    KR = min(KR, Ht)
-    full_window = KR == Ht
-    num_depth = ref_depths.shape[1]
-    dtype = feats_l[0].dtype
-
-    outs = []
-    for bb in range(b):
-        db = ref_depths[bb]
-        rp = proj[bb, 0]
-
-        planes = []
-        ok = None
-        for i in range(1, n):
-            P, Q, sx, sy = mvsnet_planes(proj[bb, i], rp, ref_hw)
-            plan = sweep_spans_px(P, Q, db, (h, w))
-            planes.append((i, P, Q, plan))
-            fit = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
-            if not full_window:
-                fit = fit & (plan["wspan"] <= KR - KY)
-            ok = fit if ok is None else ok & fit
-
-        def kernel_branch():
-            ref_v = jnp.transpose(feats_l[0][bb],
-                                  (0, 2, 1))[None].astype(jnp.float32)
-            vol_sum = None
-            vol_sq = None
-            for i, P, Q, plan in planes:
-                warped = mosaic_sweep_warp_px(
-                    feats_l[i][bb], P, Q, db, plan, KY=KY, KR=KR,
-                    interpret=interpret).astype(jnp.float32)  # [D, H, C, W]
-                sq = warped ** 2
-                vol_sum = warped if vol_sum is None else vol_sum + warped
-                vol_sq = sq if vol_sq is None else vol_sq + sq
-            vol_sum = vol_sum + ref_v
-            vol_sq = vol_sq + ref_v ** 2
-            cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
-            return jnp.transpose(cv, (0, 1, 3, 2))            # [D, H, W, C]
-
-        def gather_branch():
-            fns = [(lambda i=i: plane_sweep_warp(
-                feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
-                db[None], ref_hw)) for i in range(1, n)]
-            return variance_cost_volume(feats_l[0][bb:bb + 1],
-                                        warp_fns=fns,
-                                        num_depth=num_depth)[0]
-
-        outs.append(jax.lax.cond(ok, kernel_branch, gather_branch))
-    return jnp.stack(outs, axis=0)
+    return fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
+                                agg="variance", KY=KY, KR=KR,
+                                interpret=interpret)
 
 
 def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
@@ -793,12 +1064,17 @@ def mosaic_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
 def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
                        ref_depths, ref_hw, agg, num_depth,
                        temp=None) -> jnp.ndarray:
-    """Aggregated cost volume with the Mosaic sweep kernel + exact fallback.
+    """Aggregated cost volume with the Mosaic sweep kernels + exact fallback.
 
-    One runtime lax.cond around the WHOLE aggregation per batch element
-    (the per-view cond materializes branch results — see
-    ops.wide_sweep.cost_volume_wide): span <= 1 -> KY=2 kernel,
-    span <= 3 -> KY=4 kernel, else the exact XLA gather.
+    Dispatch cascade, ONE runtime lax.cond tree around the WHOLE
+    aggregation per batch element (the per-view cond materializes branch
+    results — see ops.wide_sweep.cost_volume_wide):
+      1. v3 FUSED multi-view kernel (in-register Sum/Sum^2 or softmin
+         stats, the only HBM volume is the final cost volume) when every
+         view's spans fit its window;
+      2. else per-view v1 resident kernel, span <= 1 -> KY=2,
+         span <= 3 -> KY=4;
+      3. else the exact XLA gather.
 
     Args:
       feats: [B, N, h, w, C] bf16 view features.
@@ -810,81 +1086,100 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
     Returns:
       [B, D, H, W, C] cost volume (feature dtype).
     """
+    b = feats.shape[0]
+    NV = len(src_idx)
+
+    def v1_one(bb):
+        return _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
+                                      ref_depths, ref_hw, agg, num_depth,
+                                      temp, bb)
+
+    if fused_supported(ref_hw, feats.shape[2:4], feats.shape[-1], NV,
+                       feats.dtype):
+        order = [reference_frame] + list(src_idx)
+        feats_l = [feats[:, i] for i in order]
+        proj_ro = proj[:, jnp.array(order)]
+        return fused_cost_volume_px(feats_l, proj_ro, ref_depths, ref_hw,
+                                    agg=agg, temp=temp, fallback=v1_one)
+    return jnp.stack([v1_one(bb) for bb in range(b)])
+
+
+def _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
+                           ref_depths, ref_hw, agg, num_depth, temp,
+                           bb) -> jnp.ndarray:
+    """Per-view v1 resident-kernel cascade for batch element bb
+    (KY=2 -> KY=4 -> exact gather). Returns [D, H, W, C]."""
     from .plane_sweep import plane_sweep_warp
     from .volumes import softmin_cost_volume, variance_cost_volume
 
-    b = feats.shape[0]
     H, W = ref_hw
-    outs = []
-    for bb in range(b):
-        fb = feats[bb]                       # [N, h, w, C]
-        pb = proj[bb]
-        db = ref_depths[bb]
-        rp = pb[reference_frame]
+    fb = feats[bb]                       # [N, h, w, C]
+    pb = proj[bb]
+    db = ref_depths[bb]
+    rp = pb[reference_frame]
 
-        planes = []
-        span_all = None
-        for i in src_idx:
-            rxyz, trans = rot_planes(pb[i], rp, ref_hw)
-            yb, span = sweep_spans(rxyz, trans, db, fb.shape[1:3])
-            planes.append((i, rxyz, trans, yb))
-            span_all = span if span_all is None else jnp.maximum(span_all,
-                                                                 span)
+    planes = []
+    span_all = None
+    for i in src_idx:
+        rxyz, trans = rot_planes(pb[i], rp, ref_hw)
+        yb, span = sweep_spans(rxyz, trans, db, fb.shape[1:3])
+        planes.append((i, rxyz, trans, yb))
+        span_all = span if span_all is None else jnp.maximum(span_all,
+                                                             span)
 
-        def kernel_branch(KY):
-            def fn():
-                # warp in kernel layout [D, H, C, W]; aggregate in-layout;
-                # ONE final transpose to [D, H, W, C] (the volume gets
-                # materialized at the model's layout fence anyway)
-                ref_chw = jnp.transpose(fb[reference_frame],
-                                        (0, 2, 1))[None]   # [1, H, C, W]
-                ref_v = ref_chw.astype(jnp.float32)
-                n_views = len(src_idx) + 1
-                vol_sum = None
-                vol_sq = None
-                sum_exp = None
-                sum_val = None
-                for i, rxyz, trans, yb in planes:
-                    warped = mosaic_sweep_warp(
-                        fb[i], rxyz, trans, db, yb,
-                        KY=KY).astype(jnp.float32)          # [D, H, C, W]
-                    if agg == "variance":
-                        sq = warped ** 2
-                        vol_sum = warped if vol_sum is None else vol_sum + warped
-                        vol_sq = sq if vol_sq is None else vol_sq + sq
-                    else:
-                        diff = (ref_v - warped) ** 2        # [D, H, C, W]
-                        e = jnp.exp(-temp * jnp.sum(diff, axis=2,
-                                                    keepdims=True))
-                        sum_exp = e if sum_exp is None else sum_exp + e
-                        cont = e * diff
-                        sum_val = cont if sum_val is None else sum_val + cont
+    def kernel_branch(KY):
+        def fn():
+            # warp in kernel layout [D, H, C, W]; aggregate in-layout;
+            # ONE final transpose to [D, H, W, C] (the volume gets
+            # materialized at the model's layout fence anyway)
+            ref_chw = jnp.transpose(fb[reference_frame],
+                                    (0, 2, 1))[None]   # [1, H, C, W]
+            ref_v = ref_chw.astype(jnp.float32)
+            n_views = len(src_idx) + 1
+            vol_sum = None
+            vol_sq = None
+            sum_exp = None
+            sum_val = None
+            for i, rxyz, trans, yb in planes:
+                warped = mosaic_sweep_warp(
+                    fb[i], rxyz, trans, db, yb,
+                    KY=KY).astype(jnp.float32)          # [D, H, C, W]
                 if agg == "variance":
-                    vol_sum = vol_sum + ref_v
-                    vol_sq = vol_sq + ref_v ** 2
-                    cv = vol_sq / n_views - (vol_sum / n_views) ** 2
+                    sq = warped ** 2
+                    vol_sum = warped if vol_sum is None else vol_sum + warped
+                    vol_sq = sq if vol_sq is None else vol_sq + sq
                 else:
-                    cv = sum_val / (sum_exp + 1e-6)
-                cv = cv.astype(feats.dtype)                 # [D, H, C, W]
-                return jnp.transpose(cv, (0, 1, 3, 2))      # [D, H, W, C]
-            return fn
-
-        def gather_branch():
-            fns = [(lambda i=i: plane_sweep_warp(
-                fb[None, i], pb[None, i], rp[None], db[None], ref_hw))
-                for i in src_idx]
+                    diff = (ref_v - warped) ** 2        # [D, H, C, W]
+                    e = jnp.exp(-temp * jnp.sum(diff, axis=2,
+                                                keepdims=True))
+                    sum_exp = e if sum_exp is None else sum_exp + e
+                    cont = e * diff
+                    sum_val = cont if sum_val is None else sum_val + cont
             if agg == "variance":
-                cv = variance_cost_volume(fb[None, reference_frame],
-                                          warp_fns=fns, num_depth=num_depth)
+                vol_sum = vol_sum + ref_v
+                vol_sq = vol_sq + ref_v ** 2
+                cv = vol_sq / n_views - (vol_sum / n_views) ** 2
             else:
-                cv = softmin_cost_volume(fb[None, reference_frame],
-                                         warp_fns=fns, temperature=temp)
-            return cv[0]
+                cv = sum_val / (sum_exp + 1e-6)
+            cv = cv.astype(feats.dtype)                 # [D, H, C, W]
+            return jnp.transpose(cv, (0, 1, 3, 2))      # [D, H, W, C]
+        return fn
 
-        branch = jax.lax.cond(
-            span_all <= 1,
-            kernel_branch(2),
-            lambda: jax.lax.cond(span_all <= 3, kernel_branch(4),
-                                 gather_branch))
-        outs.append(branch)
-    return jnp.stack(outs, axis=0)
+    def gather_branch():
+        fns = [(lambda i=i: plane_sweep_warp(
+            fb[None, i], pb[None, i], rp[None], db[None], ref_hw))
+            for i in src_idx]
+        if agg == "variance":
+            cv = variance_cost_volume(fb[None, reference_frame],
+                                      warp_fns=fns, num_depth=num_depth)
+        else:
+            cv = softmin_cost_volume(fb[None, reference_frame],
+                                     warp_fns=fns, temperature=temp)
+        return cv[0]
+
+    branch = jax.lax.cond(
+        span_all <= 1,
+        kernel_branch(2),
+        lambda: jax.lax.cond(span_all <= 3, kernel_branch(4),
+                             gather_branch))
+    return branch
