@@ -208,3 +208,26 @@ def test_occ_masking_multiscale_vis_mvsnet():
     ev_plain = T.eval_step(state, batch, cfg_plain)
     assert float(ev["val_loss"]) != pytest.approx(
         float(ev_plain["val_loss"]), rel=1e-6)
+
+
+def test_training_panels_warped_srcs_reconstruct_ref():
+    """training_panels (models/trainer.py:78-92 + :258-276 parity): with GT
+    depth, the depth-warped source views must reconstruct the reference
+    image inside the in-frustum mask."""
+    import numpy as np
+    from wildmvs.data.synthetic import SyntheticMVSDataset, collate
+    from wildmvs.utils.monitor import training_panels
+
+    ds = SyntheticMVSDataset(num_samples=1, num_views=3, height=32, width=48,
+                             seed=0)
+    b = collate([ds[0]])
+    b = {k: np.asarray(v) for k, v in b.items() if k != "filename"}
+    panels = training_panels(b, depth_est=b["depth"])
+    assert set(panels) == {"ref_img", "src_img_0", "src_img_1",
+                           "warped_ref0src_1", "warped_ref0src_2"}
+    ref = panels["ref_img"]
+    for k in ("warped_ref0src_1", "warped_ref0src_2"):
+        w = panels[k]
+        m = w.sum(-1) > 0
+        assert m.mean() > 0.5
+        assert np.abs(w - ref)[m].mean() < 0.1

@@ -70,6 +70,30 @@ def photometric_loss(imgs: jnp.ndarray, depth_est: jnp.ndarray,
     return jnp.stack(ssims, axis=1), mask
 
 
+def warped_src_views(imgs: jnp.ndarray, depth_est: jnp.ndarray,
+                     proj_mat: jnp.ndarray, ref_idx: int = 0):
+    """Source views warped into the reference frame by the predicted depth.
+
+    The reference's main visual debugging aid for the unsupervised mode
+    (models/trainer.py:258-276 — the `warped_ref_{r}src_{s}` image panels).
+
+    Args:
+      imgs: [B, N, H, W, C]; depth_est: [B, H, W] reference depth;
+      proj_mat: [B, N, 4, 4] at image resolution.
+    Returns:
+      (warped [B, N-1, H, W, C] in source order excluding ref_idx,
+       inside [B, N-1, H, W] in-frustum mask).
+    """
+    b, n, h, w, c = imgs.shape
+    flows, _ = get_flow_from_depthmap(depth_est, proj_mat, (h, w), ref_idx)
+    inside = jnp.all((flows < 1.0) & (flows > -1.0), axis=-1)
+    src_idx = [i for i in range(n) if i != ref_idx]
+    warped = jnp.stack([
+        jax.vmap(lambda im, g: grid_sample(im, g, align_corners=False))(
+            imgs[:, i], flows[:, k]) for k, i in enumerate(src_idx)], axis=1)
+    return warped, inside.astype(imgs.dtype)
+
+
 def masked_photometric_loss(imgs: jnp.ndarray, all_depthmaps: jnp.ndarray,
                             proj_mat: jnp.ndarray, ref_idx: int,
                             geom_clamping: float = 0.05):

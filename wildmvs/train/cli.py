@@ -163,8 +163,10 @@ def run(config: TrainConfig, max_epochs: int | None = None,
             meters.update(m)
             if (i + 1) % config.print_every == 0 and logger is not None:
                 print(f"  iter {i + 1}: {meters.means()}")
-                # training-image panels (models/trainer.py:78-92 parity)
-                logger.plot_ims({"ref_img": np.asarray(batch["imgs"][0, 0])},
+                # training-image panels: ref + srcs + depth-warped srcs
+                # (models/trainer.py:78-92, :258-276 parity)
+                from ..utils.monitor import training_panels
+                logger.plot_ims(training_panels(batch, depth_est),
                                 prefix=f"e{epoch}_")
                 if depth_est is not None:
                     logger.depth_panel(

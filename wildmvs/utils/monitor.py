@@ -52,6 +52,37 @@ class Logger:
         self.plot_ims({name: norm})
 
 
+def training_panels(batch, depth_est=None, ref_idx: int = 0) -> dict:
+    """The reference's per-print_every training image set: ref_img +
+    src_img_{i} (models/trainer.py:78-85) and, when a predicted depth is
+    available, the depth-warped source views `warped_ref{r}src_{s}`
+    (models/trainer.py:258-276 — the main visual debugging aid for the
+    unsupervised mode; computed on demand from the returned depth rather
+    than captured inside the loss pass)."""
+    import jax.numpy as jnp
+    imgs = np.asarray(batch["imgs"])            # [B, N, H, W, C]
+    n = imgs.shape[1]
+    src = [i for i in range(n) if i != ref_idx]
+    out = {"ref_img": imgs[0, ref_idx]}
+    for k, i in enumerate(src):
+        out[f"src_img_{k}"] = imgs[0, i]
+    if depth_est is not None:
+        from ..geometry.projective import build_proj_matrices
+        from ..losses.photometric import warped_src_views
+        from ..losses.supervised import resize_bilinear
+        H, W = imgs.shape[2:4]
+        d = resize_bilinear(jnp.asarray(depth_est, jnp.float32), (H, W))
+        proj = build_proj_matrices(jnp.asarray(batch["K"], jnp.float32),
+                                   jnp.asarray(batch["R"], jnp.float32),
+                                   jnp.asarray(batch["t"], jnp.float32))
+        warped, inside = warped_src_views(jnp.asarray(imgs, jnp.float32), d,
+                                          proj, ref_idx)
+        for k, i in enumerate(src):
+            out[f"warped_ref{ref_idx}src_{i}"] = np.clip(
+                np.asarray(warped[0, k] * inside[0, k][..., None]), 0.0, 1.0)
+    return out
+
+
 class MeterSet:
     """Running means of scalar metrics with epoch reduction.
     Parity: utils/trainer.py:18-48 (keep_losses / log_iter / log_epoch)."""
