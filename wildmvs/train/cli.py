@@ -301,8 +301,13 @@ def main(argv=None):
                    help="override the jax platform (the image pins axon/TPU)")
     a = p.parse_args(argv)
     if a.platform:
-        jax.config.update("jax_platforms",
-                          "axon" if a.platform == "tpu" else a.platform)
+        # both are required: the image's sitecustomize re-exports
+        # JAX_PLATFORMS=axon inside Python, and config.update alone loses
+        # to the env var at backend init (see CLAUDE.md environment rules)
+        import os
+        plat = "axon" if a.platform == "tpu" else a.platform
+        os.environ["JAX_PLATFORMS"] = plat
+        jax.config.update("jax_platforms", plat)
     if a.num_processes > 1:
         # DCN rendezvous before any device use (replaces gloo
         # init_process_group, train.py:52-62)
