@@ -15,7 +15,10 @@ import jax.numpy as jnp
 
 # Above every finite/inf key (+inf maps to 0xFF800000); NaNs are masked out
 # explicitly before keying, so the sentinel cannot collide with a payload.
-_SENTINEL = jnp.uint32(0xFFFFFFFF)
+# Plain int, NOT jnp.uint32(...): a module-level jnp constant would
+# initialize the jax backend at import time, before callers can select a
+# platform (CLAUDE.md environment rules).
+_SENTINEL = 0xFFFFFFFF
 
 
 def _float_to_key(flat: jnp.ndarray) -> jnp.ndarray:
