@@ -128,3 +128,34 @@ def test_matching_front_end_triangulation_quality():
           f"(geom limit {geom_limit * 100:.3f}%)")
     assert np.median(rel) < 2.0 * geom_limit, (np.median(rel), geom_limit)
     assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_fusion_parameter_sensitivity_shape():
+    """Fusion-parameter regression guard (tools/fusion_sensitivity.py,
+    recorded in BASELINE.md): at moderate noise, raising num_consistent
+    must improve accuracy and hurt completeness (the monotone trade), and
+    the default (0.01, 3) must stay within 2x of the best config probed."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    from fusion_sensitivity import gt_points, noisy_scene_depths
+    from wildmvs.pipeline.fusion import fuse_depthmaps
+    from wildmvs.pipeline.metrics3d import chamfer_nn
+
+    scene = SyntheticSceneDataset(num_views=5, height=48, width=64, seed=0)
+    depths = noisy_scene_depths(scene, 1.0, 0.05, seed=1)
+    gt = gt_points(scene)
+
+    def score(disp, ncons):
+        pts, _ = fuse_depthmaps(depths, scene.K, scene.R, scene.t,
+                                disp_threshold=disp, num_consistent=ncons)
+        return (float(np.mean(chamfer_nn(pts, gt))),
+                float(np.mean(chamfer_nn(gt, pts))))
+
+    acc2, comp2 = score(0.01, 2)
+    acc3, comp3 = score(0.01, 3)
+    acc4, comp4 = score(0.01, 4)
+    assert acc4 < acc3 < acc2, (acc2, acc3, acc4)
+    assert comp2 < comp3 < comp4, (comp2, comp3, comp4)
+    best_acc = min(acc2, acc3, acc4)
+    assert acc3 < 2.0 * best_acc
