@@ -371,3 +371,76 @@ def test_fused_cost_volume_falls_back_when_window_exceeded():
     want = variance_cost_volume(feats[0], warp_fns=fns, num_depth=D)
     assert np.abs(np.asarray(cv, np.float32)
                   - np.asarray(want, np.float32)).max() < 0.05
+
+
+def test_warp_mosaic_per_pixel_custom_vjp():
+    """plane_sweep_warp_mosaic with [B, D, H, W] hypothesis maps (the CVP
+    train refinement configuration): forward == gather to bf16 rounding
+    (interpret), gradients == the gather path's exactly."""
+    from wildmvs.ops.mosaic_sweep import plane_sweep_warp_mosaic
+
+    H, W, C, D = 16, 40, 8, 4
+    rng = np.random.default_rng(21)
+    src = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    base = 600.0 + 30.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 10.0 * np.cos(np.linspace(0, 2, W))[None, :]
+    hyp = jnp.asarray((base[None] + np.linspace(-15, 15, D)[:, None, None]
+                       ).astype(np.float32))[None]
+    cot = jnp.asarray(rng.standard_normal((1, D, H, W, C)), jnp.bfloat16)
+
+    out_m, vjp_m = jax.vjp(
+        lambda f, d: plane_sweep_warp_mosaic(f, src_proj[None],
+                                             ref_proj[None], d, (H, W),
+                                             True), src, hyp)
+    out_g, vjp_g = jax.vjp(
+        lambda f, d: plane_sweep_warp(f, src_proj[None], ref_proj[None],
+                                      d, (H, W)), src, hyp)
+    assert np.abs(np.asarray(out_m, np.float32)
+                  - np.asarray(out_g, np.float32)).max() < 0.08
+    gm = vjp_m(cot)
+    gg = vjp_g(cot)
+    for a, b in zip(gm, gg):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=0, atol=0)
+
+
+def test_homography_warp_mosaic_custom_vjp():
+    """homography_sweep_warp_mosaic (the Vis-MVSNet train-path kernel):
+    forward == gather homography warp to bf16 rounding, gradients (incl.
+    wrt the re-centered per-pixel depth_start slab) == the gather path's
+    exactly."""
+    from wildmvs.ops.mosaic_sweep import homography_sweep_warp_mosaic
+    from wildmvs.ops.plane_sweep import homography_sweep_warp
+
+    H, W, C, D = 32, 48, 8, 6
+    rng = np.random.default_rng(22)
+    src = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    yaw = 0.02
+    Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+    K = jnp.asarray(np.array([[60.0, 0, W / 2], [0, 60.0, H / 2],
+                              [0, 0, 1]], np.float32))[None]
+    R0 = jnp.asarray(np.eye(3, dtype=np.float32))[None]
+    Rs = jnp.asarray(Ry)[None]
+    t0 = jnp.zeros((1, 3, 1))
+    ts = jnp.asarray(np.array([[[2.0], [0.5], [0.0]]], np.float32))
+    start = jnp.asarray(500.0 + 30.0 * np.sin(
+        np.linspace(0, 3, H * W)).reshape(1, 1, H, W).astype(np.float32))
+    interval = jnp.full((1, 1, 1, 1), 40.0)
+    cot = jnp.asarray(rng.standard_normal((1, D, H, W, C)), jnp.bfloat16)
+
+    out_m, vjp_m = jax.vjp(
+        lambda f, ds: homography_sweep_warp_mosaic(
+            f, K, R0, t0, K, Rs, ts, D, ds, interval, (H, W), True),
+        src, start)
+    out_g, vjp_g = jax.vjp(
+        lambda f, ds: homography_sweep_warp(
+            f, K, R0, t0, K, Rs, ts, D, ds, interval, (H, W)), src, start)
+    assert np.abs(np.asarray(out_m, np.float32)
+                  - np.asarray(out_g, np.float32)).max() < 0.08
+    gm = vjp_m(cot)
+    gg = vjp_g(cot.astype(out_g.dtype))
+    for a, b in zip(gm, gg):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), rtol=0, atol=0)

@@ -332,9 +332,19 @@ class CVPMVSNet(nn.Module):
                 if mosaic_px_supported((fh, fw), flevel[0].dtype):
                     return variance_volume_mosaic_px(flevel, proj, hyp,
                                                      (fh, fw))
+            warp = plane_sweep_warp
+            if train and not ragged and not sharded:
+                # bf16 training: Mosaic kernel forward, exact-gather VJP
+                # (uniform coarse sweep AND per-pixel refinement maps)
+                from ..ops.mosaic_sweep import (mosaic_px_supported,
+                                                plane_sweep_warp_mosaic)
+                if mosaic_px_supported((fh, fw), flevel[0].dtype):
+                    def warp(f, sp, rp, dv, hw):
+                        return plane_sweep_warp_mosaic(f, sp, rp, dv, hw,
+                                                       False)
             warp_fns = [
-                (lambda i=i: plane_sweep_warp(flevel[i], proj[:, i],
-                                              proj[:, 0], hyp, (fh, fw)))
+                (lambda i=i: warp(flevel[i], proj[:, i],
+                                  proj[:, 0], hyp, (fh, fw)))
                 for i in range(1, n)
             ]
             return variance_cost_volume(flevel[0], warp_fns=warp_fns,

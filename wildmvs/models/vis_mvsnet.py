@@ -172,10 +172,25 @@ class SingleStage(nn.Module):
 
     def _pair(self, ref_vol, src_feat, K0, R0, t0, Ks, Rs, ts,
               depth_num, depth_start, depth_interval, hw, train):
-        """One source pair: warp -> correlation -> reg -> score -> uncert."""
-        warped = homography_sweep_warp(
-            src_feat, K0, R0, t0, Ks, Rs, ts,
-            depth_num, depth_start, depth_interval, hw)
+        """One source pair: warp -> correlation -> reg -> score -> uncert.
+
+        Training (sequential per-pair calls) warps through the Mosaic
+        kernel's custom-VJP wrapper when eligible — kernel forward,
+        exact-gather VJP — the Vis arm of the fast bf16 train recipe."""
+        use_kernel = False
+        if train:
+            from ..ops.mosaic_sweep import vis_mosaic_supported
+            use_kernel = vis_mosaic_supported(hw, src_feat.shape[1:3],
+                                              src_feat.dtype)
+        if use_kernel:
+            from ..ops.mosaic_sweep import homography_sweep_warp_mosaic
+            warped = homography_sweep_warp_mosaic(
+                src_feat, K0, R0, t0, Ks, Rs, ts,
+                depth_num, depth_start, depth_interval, hw)
+        else:
+            warped = homography_sweep_warp(
+                src_feat, K0, R0, t0, Ks, Rs, ts,
+                depth_num, depth_start, depth_interval, hw)
         return self._pair_tail(ref_vol, warped, depth_start,
                                depth_interval, train)
 

@@ -906,11 +906,40 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
 
 def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
                       interpret=False):
-    """Per-batch span-cond Mosaic warp -> [B, D, H, W, C] (KY=2 -> KY=4 ->
-    exact gather)."""
+    """Per-batch span-cond Mosaic warp -> [B, D, H, W, C].
+
+    Uniform depths [B, D]: resident v1 kernel (KY=2 -> KY=4 -> gather).
+    Per-pixel depths [B, D, H, W]: streamed px kernel -> gather.
+    """
     from .plane_sweep import plane_sweep_warp
+    per_pixel = depth_values.ndim > 2
     outs = []
     for b in range(src_fea.shape[0]):
+        def gather(b=b):
+            return plane_sweep_warp(src_fea[b:b + 1], src_proj[b:b + 1],
+                                    ref_proj[b:b + 1],
+                                    depth_values[b:b + 1],
+                                    ref_hw)[0].astype(src_fea.dtype)
+
+        if per_pixel:
+            P, Q, _, _ = mvsnet_planes(src_proj[b], ref_proj[b], ref_hw)
+            plan = sweep_spans_px(P, Q, depth_values[b],
+                                  src_fea.shape[1:3])
+            Ht = src_fea.shape[1] + 2
+            KR = min(48, Ht)
+            ok = (plan["yspan"] <= 1) & (plan["xover"] <= 0)
+            if KR < Ht:
+                ok = ok & (plan["wspan"] <= KR - 2)
+
+            def kern_px(b=b, P=P, Q=Q, plan=plan, KR=KR):
+                out = mosaic_sweep_warp_px(src_fea[b], P, Q,
+                                           depth_values[b], plan, KY=2,
+                                           KR=KR, interpret=interpret)
+                return jnp.transpose(out, (0, 1, 3, 2))   # [D, H, W, C]
+
+            outs.append(jax.lax.cond(ok, kern_px, gather))
+            continue
+
         rxyz, trans = rot_planes(src_proj[b], ref_proj[b], ref_hw)
         yb, span = sweep_spans(rxyz, trans, depth_values[b],
                                src_fea.shape[1:3])
@@ -922,12 +951,6 @@ def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
                                         interpret=interpret)
                 return jnp.transpose(out, (0, 1, 3, 2))   # [D, H, W, C]
             return fn
-
-        def gather(b=b):
-            return plane_sweep_warp(src_fea[b:b + 1], src_proj[b:b + 1],
-                                    ref_proj[b:b + 1],
-                                    depth_values[b:b + 1],
-                                    ref_hw)[0].astype(src_fea.dtype)
 
         outs.append(jax.lax.cond(
             span <= 1, kern(2),
@@ -1042,6 +1065,50 @@ def homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
 
         outs.append(jax.lax.cond(ok, kern, fallback))
     return jnp.stack(outs, axis=0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 10, 11))
+def homography_sweep_warp_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src,
+                                 t_src, depth_num, depth_start,
+                                 depth_interval, ref_hw, interpret=False):
+    """Differentiable drop-in for ops.plane_sweep.homography_sweep_warp.
+
+    Forward: homography_volume_mosaic (streamed kernel, runtime exact
+    fallback); backward: the gather path's VJP at the same primals — same
+    rationale as plane_sweep_warp_mosaic (the two forwards differ only by
+    bf16 rounding, and the cotangents wrt features, cams, and the
+    re-centered depth_start slab all come from the exact gather graph).
+    Lets the bf16 Vis-MVSNet TRAINING recipe use the kernel."""
+    return homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src,
+                                    t_src, depth_num, depth_start,
+                                    depth_interval, ref_hw,
+                                    interpret=interpret)
+
+
+def _hom_mosaic_fwd(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
+                    depth_num, depth_start, depth_interval, ref_hw,
+                    interpret):
+    out = homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src,
+                                   t_src, depth_num, depth_start,
+                                   depth_interval, ref_hw,
+                                   interpret=interpret)
+    return out, (src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
+                 depth_start, depth_interval)
+
+
+def _hom_mosaic_bwd(depth_num, ref_hw, interpret, res, g):
+    from .plane_sweep import homography_sweep_warp
+    (src, K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
+     depth_interval) = res
+    _, vjp = jax.vjp(
+        lambda f, k0, r0, tt0, ks, rs, ts, ds, di: homography_sweep_warp(
+            f, k0, r0, tt0, ks, rs, ts, depth_num, ds, di, ref_hw),
+        src, K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
+        depth_interval)
+    return vjp(g.astype(src.dtype))
+
+
+homography_sweep_warp_mosaic.defvjp(_hom_mosaic_fwd, _hom_mosaic_bwd)
 
 
 # ---------------------------------------------------------------------------
