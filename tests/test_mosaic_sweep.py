@@ -444,3 +444,48 @@ def test_homography_warp_mosaic_custom_vjp():
     for a, b in zip(gm, gg):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), rtol=0, atol=0)
+
+
+def test_homography_gwc_volume_mosaic_interpret():
+    """Fused warp + group-wise correlation == gather warp then
+    groupwise_correlation (the Vis-MVSNet per-pair cost volume), scalar
+    and per-pixel slab starts."""
+    from wildmvs.ops.mosaic_sweep import homography_gwc_volume_mosaic
+    from wildmvs.ops.plane_sweep import homography_sweep_warp
+    from wildmvs.ops.volumes import groupwise_correlation
+
+    H, W, C, D, G = 32, 48, 16, 6, 8
+    rng = np.random.default_rng(31)
+    src = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    ref = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    yaw = 0.02
+    Ry = np.array([[np.cos(yaw), 0, np.sin(yaw)], [0, 1, 0],
+                   [-np.sin(yaw), 0, np.cos(yaw)]], np.float32)
+    K = jnp.asarray(np.array([[60.0, 0, W / 2], [0, 60.0, H / 2],
+                              [0, 0, 1]], np.float32))[None]
+    R0 = jnp.asarray(np.eye(3, dtype=np.float32))[None]
+    Rs = jnp.asarray(Ry)[None]
+    t0 = jnp.zeros((1, 3, 1))
+    ts = jnp.asarray(np.array([[[2.0], [0.5], [0.0]]], np.float32))
+
+    for start in (jnp.full((1, 1, 1, 1), 425.0),
+                  jnp.asarray(500.0 + 30.0 * np.sin(
+                      np.linspace(0, 3, H * W)).reshape(1, 1, H, W)
+                      .astype(np.float32))):
+        interval = jnp.full((1, 1, 1, 1), 40.0)
+        warped = homography_sweep_warp(src.astype(jnp.float32), K, R0, t0,
+                                       K, Rs, ts, D, start, interval,
+                                       (H, W))
+        want = groupwise_correlation(
+            jnp.broadcast_to(ref.astype(jnp.float32)[:, None],
+                             warped.shape), warped, G)
+        got = homography_gwc_volume_mosaic(src, ref, K, R0, t0, K, Rs, ts,
+                                           D, start, interval, (H, W),
+                                           groups=G, interpret=True)
+        a = np.asarray(got, np.float32)
+        b = np.asarray(want, np.float32)
+        assert a.shape == b.shape == (1, D, H, W, G)
+        # bf16 table/features + f32 in-kernel accumulation vs f32 gather:
+        # tolerance scales with the gs=C/G-term dot products
+        assert np.abs(a - b).max() < 0.35, np.abs(a - b).max()
+        assert (np.abs(b) > 0).mean() > 0.3

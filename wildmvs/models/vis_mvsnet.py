@@ -158,6 +158,12 @@ class SingleStage(nn.Module):
         """correlation -> reg -> score -> uncert, from a warped volume."""
         cost = groupwise_correlation(
             jnp.broadcast_to(ref_vol, warped.shape), warped, 8)
+        return self._pair_tail_cost(cost, depth_start, depth_interval,
+                                    train)
+
+    def _pair_tail_cost(self, cost, depth_start, depth_interval, train):
+        """reg -> score -> uncert, from a correlation cost volume (entry
+        point for the fused warp+correlation kernel)."""
         if _active_axis(self.hyp_axis):
             from jax.sharding import PartitionSpec as P
             cost = jax.lax.with_sharding_constraint(
@@ -227,23 +233,25 @@ class SingleStage(nn.Module):
                                                ref_feat.dtype)
                           and not _active_axis(self.view_axis))
             if use_mosaic:
-                # Mosaic streamed warp per pair (runtime exact fallback),
+                # Mosaic streamed warp + group-wise correlation fused in
+                # ONE kernel per pair (the [D, h, w, C] warped volume never
+                # touches HBM — only the C/8-smaller correlation volume),
                 # then the shared tail vmapped over the stacked volumes
-                from ..ops.mosaic_sweep import homography_volume_mosaic
-                warped_s = jnp.stack([
-                    homography_volume_mosaic(
-                        srcs_feat[i], K[:, 0], R[:, 0], t[:, 0],
+                from ..ops.mosaic_sweep import homography_gwc_volume_mosaic
+                cost_s = jnp.stack([
+                    homography_gwc_volume_mosaic(
+                        srcs_feat[i], ref_feat, K[:, 0], R[:, 0], t[:, 0],
                         K[:, i + 1], R[:, i + 1], t[:, i + 1],
-                        depth_num, depth_start, depth_interval, (h, w))
-                    for i in range(n_src)], 0)     # [S, B, D, h, w, C]
+                        depth_num, depth_start, depth_interval, (h, w),
+                        groups=8)
+                    for i in range(n_src)], 0)     # [S, B, D, h, w, 8]
                 vtail = nn.vmap(
-                    SingleStage._pair_tail,
-                    in_axes=(None, 0, None, None, None), out_axes=0,
+                    SingleStage._pair_tail_cost,
+                    in_axes=(0, None, None, None), out_axes=0,
                     variable_axes={"params": None, "batch_stats": None},
                     split_rngs={"params": False})
                 interm_s, est_s, unc_s = vtail(
-                    self, ref_vol, warped_s, depth_start, depth_interval,
-                    train)
+                    self, cost_s, depth_start, depth_interval, train)
             else:
                 vpair = nn.vmap(
                     SingleStage._pair,

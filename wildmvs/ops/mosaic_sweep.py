@@ -569,6 +569,162 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
     return out[..., :W]
 
 
+def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
+                   px_ref, py_ref, pz_ref,
+                   qx_ref, qy_ref, qz_ref,
+                   dmap_ref, ref_ref, table_ref, out_ref,
+                   win_ref, sem, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
+                   *, C, G, H, W, Ht, Wt, KY, KR, XC, NT, sx, sy):
+    """_kernel_px with the group-wise correlation fused in: instead of the
+    [C, 128] warped chunk, writes the [G, 128] per-group ref*warped dots
+    (ops/volumes.groupwise_correlation semantics, nn_utils.py:473-490) —
+    the only HBM volume is the C/G-times-smaller correlation volume."""
+    yy = pl.program_id(0)
+    d_i = pl.program_id(1)
+    C2 = C * 2
+    gs = C // G
+
+    wb = wb_ref[yy]
+
+    @pl.when(d_i == 0)
+    def _():
+        dma = pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(wb, KR)], win_ref, sem)
+        dma.start()
+        dma.wait()
+
+    d = dmap_ref[0]
+    rx = px_ref[:] * d + qx_ref[:]
+    ry = py_ref[:] * d + qy_ref[:]
+    rz = pz_ref[:] * d + qz_ref[:]
+    xs = jnp.where(rz > 0, rx / rz, -10.0) * sx
+    ys = jnp.where(rz > 0, ry / rz, -10.0) * sy
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fxb = xs - x0f
+    fyb = ys - y0f
+    validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
+              & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
+    ix_s[:] = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
+    iy_s[:] = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
+    vb = validb.astype(jnp.float32)
+    w00_s[:] = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w01_s[:] = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
+    w10_s[:] = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w11_s[:] = (fyb * fxb * vb).astype(jnp.bfloat16)
+
+    for r in range(RB):
+        for xc in range(XC):
+            ls = pl.ds(xc * LANES, LANES)
+            ix = ix_s[r, ls]
+            iy = iy_s[r, ls]
+            pi = (d_i * H + yy * RB + r) * XC + xc
+            ybase = ybase_ref[pi]
+            xtb = xtb_ref[pi]
+            iyl = jnp.clip(iy - ybase, 0, KY - 1)
+            inwin = (iy - ybase) == iyl
+            idx = jnp.broadcast_to(ix[None], (C2, LANES))
+            ywin = jnp.clip(ybase - wb, 0, KR - KY)
+            sel = None
+            for k in range(KY):
+                g = None
+                for t in range(NT):
+                    tile = win_ref[xtb + t, ywin + k]
+                    base = (xtb + t) * LANES
+                    loc = jnp.clip(idx - base, 0, LANES - 1)
+                    gt = jnp.take_along_axis(tile, loc, axis=1)
+                    if g is None:
+                        g = gt
+                    else:
+                        use = (idx >= base) & (idx < base + LANES)
+                        g = jnp.where(use, gt, g)
+                ok = jnp.broadcast_to((iyl == k)[None], (C2, LANES))
+                sel = g if sel is None else jnp.where(ok, g, sel)
+            quad = pltpu.bitcast(sel, jnp.bfloat16)
+            mask = inwin.astype(jnp.bfloat16)[None]
+            warped = (quad[0 * C:1 * C] * w00_s[r, ls][None]
+                      + quad[1 * C:2 * C] * w01_s[r, ls][None]
+                      + quad[2 * C:3 * C] * w10_s[r, ls][None]
+                      + quad[3 * C:4 * C] * w11_s[r, ls][None]) * mask
+            prod = (ref_ref[r, :, ls].astype(jnp.float32)
+                    * warped.astype(jnp.float32))         # [C, 128]
+            corr = prod.reshape(G, gs, LANES).sum(axis=1)  # [G, 128]
+            out_ref[0, r, :, ls] = corr.astype(out_ref.dtype)
+
+
+def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
+                             groups: int = 8, KY: int = 2, KR: int = 32,
+                             sx: float = 1.0, sy: float = 1.0,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Streamed warp with the group-wise correlation fused in.
+
+    Args: as mosaic_sweep_warp_px, plus ref_chw [H, C, W] reference
+    features. Returns [D, H, G, W] correlation volume (bf16).
+    """
+    h, w, C = src.shape
+    D = svals.shape[0]
+    _, H, W = P.shape
+    G = groups
+    assert C % G == 0
+    XC = (W + LANES - 1) // LANES
+    Wp = XC * LANES
+    assert H % RB == 0, (H, RB)
+    table = build_corner_table_tiled(src)
+    Wt, Ht, C2, _ = table.shape
+    NT = min(2, Wt)
+    KR = min(KR, Ht)
+    rp = jnp.pad(P, ((0, 0), (0, 0), (0, Wp - W)), constant_values=0.0)
+    qp = jnp.pad(Q, ((0, 0), (0, 0), (0, Wp - W)), constant_values=-1e9)
+    if svals.ndim == 1:
+        dmap = jnp.broadcast_to(
+            svals.astype(jnp.float32)[:, None, None], (D, H, Wp))
+    else:
+        dmap = jnp.pad(svals.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, Wp - W)))
+    refp = jnp.pad(ref_chw, ((0, 0), (0, 0), (0, Wp - W))) \
+        .astype(jnp.bfloat16)
+    yb = jnp.clip(plan["ybase"], 0, Ht - KY)
+    wb = jnp.clip(plan["wb"], 0, Ht - KR)
+    xtb = jnp.clip(plan["xtb"], 0, Wt - NT)
+
+    kern = functools.partial(
+        _kernel_px_gwc, C=C, G=G, H=h, W=w, Ht=Ht, Wt=Wt, KY=KY, KR=KR,
+        XC=XC, NT=NT, sx=sx, sy=sy)
+
+    row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(H // RB, D),
+        in_specs=[
+            row_spec, row_spec, row_spec,       # P planes
+            row_spec, row_spec, row_spec,       # Q planes
+            pl.BlockSpec((1, RB, Wp), lambda yy, di, *pf: (di, yy, 0)),
+            pl.BlockSpec((RB, C, Wp), lambda yy, di, *pf: (yy, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),     # table stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, RB, G, Wp),
+                               lambda yy, di, *pf: (di, yy, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Wt, KR, C2, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((RB, Wp), jnp.int32),
+            pltpu.VMEM((RB, Wp), jnp.int32),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+            pltpu.VMEM((RB, Wp), jnp.bfloat16),
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((D, H, G, Wp), jnp.bfloat16),
+        interpret=interpret,
+    )(yb.reshape(-1), xtb.reshape(-1), wb,
+      rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, refp, table)
+    return out[..., :W]
+
+
 # ---------------------------------------------------------------------------
 # v3: FUSED multi-view cost-volume kernel.
 #
@@ -879,17 +1035,79 @@ def fused_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
             and fused_window_rows(src_hw, c, nv) > KY)
 
 
+def _variance_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
+                         KY: int = 2, KR: int = 48,
+                         interpret: bool = False) -> jnp.ndarray:
+    """Pre-v3 per-view streamed-kernel variance for batch element bb:
+    each source view warps through mosaic_sweep_warp_px (whole per-view
+    window budget) and XLA accumulates Sum/Sum^2; exact-gather fallback
+    behind one cond. Kept as the middle dispatch tier — at sizes where the
+    fused kernel's NV-view window budget collapses (e.g. CVP full-res
+    refinements) the per-view kernel still beats the gather ~3.5-5x."""
+    from .plane_sweep import plane_sweep_warp
+    from .volumes import variance_cost_volume
+
+    n = len(feats_l)
+    h, w = feats_l[1].shape[1:3]
+    Ht = h + 2
+    KR = min(KR, Ht)
+    full_window = KR == Ht
+    num_depth = ref_depths.shape[1]
+    dtype = feats_l[0].dtype
+
+    db = ref_depths[bb]
+    rp = proj[bb, 0]
+    planes = []
+    ok = None
+    for i in range(1, n):
+        P, Q, sx, sy = mvsnet_planes(proj[bb, i], rp, ref_hw)
+        plan = sweep_spans_px(P, Q, db, (h, w))
+        planes.append((i, P, Q, plan))
+        fit = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
+        if not full_window:
+            fit = fit & (plan["wspan"] <= KR - KY)
+        ok = fit if ok is None else ok & fit
+
+    def kernel_branch():
+        ref_v = jnp.transpose(feats_l[0][bb],
+                              (0, 2, 1))[None].astype(jnp.float32)
+        vol_sum = None
+        vol_sq = None
+        for i, P, Q, plan in planes:
+            warped = mosaic_sweep_warp_px(
+                feats_l[i][bb], P, Q, db, plan, KY=KY, KR=KR,
+                interpret=interpret).astype(jnp.float32)  # [D, H, C, W]
+            sq = warped ** 2
+            vol_sum = warped if vol_sum is None else vol_sum + warped
+            vol_sq = sq if vol_sq is None else vol_sq + sq
+        vol_sum = vol_sum + ref_v
+        vol_sq = vol_sq + ref_v ** 2
+        cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
+        return jnp.transpose(cv, (0, 1, 3, 2))            # [D, H, W, C]
+
+    def gather_branch():
+        fns = [(lambda i=i: plane_sweep_warp(
+            feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
+            db[None], ref_hw)) for i in range(1, n)]
+        return variance_cost_volume(feats_l[0][bb:bb + 1],
+                                    warp_fns=fns,
+                                    num_depth=num_depth)[0]
+
+    return jax.lax.cond(ok, kernel_branch, gather_branch)
+
+
 def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
                               KY: int = 2, KR: int = 48,
                               interpret: bool = False) -> jnp.ndarray:
     """Variance cost volume for per-pixel/full sweeps, fused kernel first.
 
     CVP-MVSNet's per-level aggregation (all levels: the coarse full sweep
-    and the per-pixel-hypothesis refinements). Round 3: delegates to the
-    v3 FUSED multi-view kernel (fused_cost_volume_px) — the source views
-    accumulate Sum/Sum^2 in-register instead of materializing a warped
-    volume per view; the exact XLA-gather aggregation remains the runtime
-    fallback behind the same one-cond-per-element dispatch.
+    and the per-pixel-hypothesis refinements). Dispatch: the v3 FUSED
+    multi-view kernel (fused_cost_volume_px — source views accumulate
+    Sum/Sum^2 in-register, only the final cost volume touches HBM) when
+    the NV-view window budget is useful, else the pre-v3 per-view
+    streamed kernel, else the exact XLA gather — each tier behind one
+    runtime cond per batch element.
 
     Args:
       feats_l: list of [B, h, w, C] bf16 features, reference FIRST.
@@ -899,9 +1117,20 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
     Returns:
       [B, D, H, W, C] variance cost volume (feature dtype).
     """
-    return fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
-                                agg="variance", KY=KY, KR=KR,
-                                interpret=interpret)
+    def perview(bb):
+        return _variance_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
+                                    KY=KY, KR=KR, interpret=interpret)
+
+    nv = len(feats_l) - 1
+    h, w = feats_l[1].shape[1:3]
+    # the fused kernel is only worth dispatching when its shared VMEM
+    # budget still gives each view a useful window
+    if fused_window_rows((h, w), feats_l[0].shape[-1], nv, KR=KR) >=             min(KR, h + 2, 16):
+        return fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
+                                    agg="variance", KY=KY, KR=KR,
+                                    fallback=perview, interpret=interpret)
+    b = feats_l[0].shape[0]
+    return jnp.stack([perview(bb) for bb in range(b)])
 
 
 def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
@@ -1062,6 +1291,70 @@ def homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
                 t_ref[bb:bb + 1], K_src[bb:bb + 1], R_src[bb:bb + 1],
                 t_src[bb:bb + 1], depth_num, depth_start[bb:bb + 1],
                 depth_interval[bb:bb + 1], ref_hw)[0]
+
+        outs.append(jax.lax.cond(ok, kern, fallback))
+    return jnp.stack(outs, axis=0)
+
+
+def homography_gwc_volume_mosaic(src, ref_feat, K_ref, R_ref, t_ref,
+                                 K_src, R_src, t_src, depth_num: int,
+                                 depth_start, depth_interval, ref_hw,
+                                 groups: int = 8, KY: int = 2, KR: int = 48,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Vis-MVSNet per-pair warp + group-wise correlation in ONE kernel.
+
+    Replaces homography_sweep_warp -> groupwise_correlation
+    (model_cas.py:176-187 + nn_utils.py:473-490): the [D, H, W, C] warped
+    volume never touches HBM — the kernel writes the C/groups-times-smaller
+    correlation volume directly. Same runtime span-cond fallback as
+    homography_volume_mosaic (gather warp + XLA correlation).
+
+    Args: src/ref_feat [B, h, w, C] / [B, H, W, C]; cams batched like
+    homography_sweep_warp. Returns [B, D, H, W, groups].
+    """
+    from .plane_sweep import homography_sweep_warp
+    from .volumes import groupwise_correlation
+    b, h, w, C = src.shape
+    rh, rw = ref_hw
+    steps = jnp.arange(depth_num, dtype=jnp.float32).reshape(depth_num, 1, 1)
+
+    outs = []
+    for bb in range(b):
+        P, Q, sx, sy = vis_planes(K_ref[bb], R_ref[bb], t_ref[bb],
+                                  K_src[bb], R_src[bb], t_src[bb],
+                                  ref_hw, (h, w))
+        start = depth_start[bb, 0].astype(jnp.float32)
+        interval = depth_interval[bb, 0, 0, 0].astype(jnp.float32)
+        depth = start[None] + interval * steps
+        svals = 1.0 / (depth + 1e-9)
+        if svals.shape[1] == 1:
+            svals = svals[:, 0, 0]
+        else:
+            svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
+        plan = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
+        Ht = h + 2
+        KRb = min(KR, Ht)
+        ok = ((plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
+              & ((plan["wspan"] <= KRb - KY) if KRb < Ht else True))
+        ref_chw = jnp.transpose(ref_feat[bb], (0, 2, 1))   # [H, C, W]
+
+        def kern(bb=bb, P=P, Q=Q, svals=svals, plan=plan, KRb=KRb,
+                 sx=sx, sy=sy, ref_chw=ref_chw):
+            out = mosaic_sweep_warp_px_gwc(src[bb], ref_chw, P, Q, svals,
+                                           plan, groups=groups, KY=KY,
+                                           KR=KRb, sx=sx, sy=sy,
+                                           interpret=interpret)
+            return jnp.transpose(out, (0, 1, 3, 2)).astype(src.dtype)
+
+        def fallback(bb=bb):
+            warped = homography_sweep_warp(
+                src[bb:bb + 1], K_ref[bb:bb + 1], R_ref[bb:bb + 1],
+                t_ref[bb:bb + 1], K_src[bb:bb + 1], R_src[bb:bb + 1],
+                t_src[bb:bb + 1], depth_num, depth_start[bb:bb + 1],
+                depth_interval[bb:bb + 1], ref_hw)[0]
+            return groupwise_correlation(
+                jnp.broadcast_to(ref_feat[bb][None], warped.shape), warped,
+                groups).astype(src.dtype)
 
         outs.append(jax.lax.cond(ok, kern, fallback))
     return jnp.stack(outs, axis=0)

@@ -12,13 +12,15 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Above every finite/inf key (+inf maps to 0xFF800000); NaNs are masked out
 # explicitly before keying, so the sentinel cannot collide with a payload.
-# Plain int, NOT jnp.uint32(...): a module-level jnp constant would
+# np.uint32, NOT jnp.uint32(...): a module-level jnp constant would
 # initialize the jax backend at import time, before callers can select a
-# platform (CLAUDE.md environment rules).
-_SENTINEL = 0xFFFFFFFF
+# platform (CLAUDE.md environment rules); a bare Python int would overflow
+# int32 weak-typing inside jnp.where.
+_SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def _float_to_key(flat: jnp.ndarray) -> jnp.ndarray:
