@@ -742,7 +742,7 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_fused(ybase_ref, xtb_ref, wb_ref, temp_ref,
+def _kernel_fused(plan_ref, wb_ref, temp_ref,
                   px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
                   dmap_ref, ref_ref, table_ref, out_ref,
                   win_ref, sem, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
@@ -809,8 +809,11 @@ def _kernel_fused(ybase_ref, xtb_ref, wb_ref, temp_ref,
                 ix = ix_s[v, r, ls]
                 iy = iy_s[v, r, ls]
                 pi = ((v * D + d_idx) * ROWS + yy * RB + r) * XC + xc
-                ybase = ybase_ref[pi]
-                xtb = xtb_ref[pi]
+                # (ybase, xtb) packed 16/16 into one int32 — halves the
+                # scalar-prefetch footprint (SMEM) vs two arrays
+                packed = plan_ref[pi]
+                ybase = packed & 0xFFFF
+                xtb = packed >> 16
                 wb = wb_ref[(v * DO + do) * HB + yy]
                 iyl = jnp.clip(iy - ybase, 0, KY - 1)
                 inwin = (iy - ybase) == iyl
@@ -949,6 +952,7 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
             NT = min(2, Wt)
             yb = jnp.stack([jnp.clip(p["ybase"], 0, Ht - KY) for p in plans])
             xtb = jnp.stack([jnp.clip(p["xtb"], 0, Wt - NT) for p in plans])
+            packed = yb | (xtb << 16)       # 16/16-packed (ybase, xtb)
             wb = jnp.stack([jnp.clip(p["wb"], 0, Ht - KR) for p in plans])
 
             def pad3(x, cval):
@@ -983,7 +987,7 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
             vrow = pl.BlockSpec((NV, RB, Wp),
                                 lambda do, yy, dp, *pf: (0, yy, 0))
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
+                num_scalar_prefetch=3,
                 grid=(D // DC, HBn, DC),
                 in_specs=[
                     vrow, vrow, vrow, vrow, vrow, vrow,
@@ -1013,7 +1017,7 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), dtype),
                 interpret=interpret,
-            )(yb.reshape(-1), xtb.reshape(-1), wb.reshape(-1), tempv,
+            )(packed.reshape(-1), wb.reshape(-1), tempv,
               px, py, pz, qx, qy, qz, dmap, ref_chw, table)
             return jnp.transpose(cv[..., :W], (0, 1, 3, 2))  # [D, H, W, C]
 
