@@ -4,11 +4,12 @@ Primary metric: the flagship forward (MVSNet, N=3 views, 512x640, 192 depth
 hypotheses — the reference's DTU training configuration,
 data/dtu_yao.py:41-42 + models/MVSNet/model.py:98).  The same JSON line also
 carries the other two architecture families at their training-res eval
-configurations plus all three at the TRUE DTU eval-protocol resolutions
-(full-res 1200x1600 /32-cropped to 1152x1600, nviews=5,
-data/dtu_yao_eval.py + evaluation/pipeline_utils.py:43; per-arch input
-downscales from evaluation/pipeline_utils.py:133-154: mvsnet /4 -> 288x400,
-vis_mvsnet /2 -> 576x800, cvp_mvsnet full res at nscale=5).
+configurations plus all three at the TRUE DTU eval-protocol resolution:
+full-res 1200x1600 images /32-cropped to 1184x1600 (data/MVSDataset.py:77),
+nviews=5, fed to every architecture at full resolution
+(evaluation/run_depthmaps.py:55-58 passes the dataset images straight to the
+net; the per-arch `downscale` in pipeline_utils.py:133-154 is the output
+depthmap scale consumed by filtering.py:51-58, not an input resize).
 
 Timeout-proofing: a complete JSON record line is printed (flushed) after
 EVERY measurement, starting with the headline — the driver parses the last
@@ -152,19 +153,25 @@ def main():
             args, {"nscale": 5}, iters=6))
 
     if EVALRES:
-        # true DTU eval-protocol resolutions (1152x1600 /32-cropped, N=5;
-        # per-arch downscale per evaluation/pipeline_utils.py:133-154)
-        measure("mvsnet_eval_288x400_N5_maps_s", lambda: 1.0 / time_model(
+        # true DTU eval protocol: ALL architectures consume the full-res
+        # /32-cropped images (1200x1600 -> 1184x1600, data/MVSDataset.py:77
+        # multi=32; dtu_yao_eval.py feeds them uncropped to the net,
+        # run_depthmaps.py:55-58). The per-arch `downscale` in
+        # pipeline_utils.py:133-154 is the OUTPUT depth/image scale used by
+        # filtering.py:51-58 to upsample depth back to image coords (mvsnet
+        # /4 -> 296x400 maps, vis /2 -> 592x800, cvp /1), NOT an input
+        # resize. f=2892 matches DTU full-res intrinsics.
+        measure("mvsnet_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD),
-            scene(1, 5, 288, 400, 360.0), {}, iters=10))
-        measure("vis_eval_576x800_N5_maps_s", lambda: 1.0 / time_model(
+            scene(1, 5, 1184, 1600, 2892.0), {}, iters=4))
+        measure("vis_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("vis_mvsnet", depth_nums=(64, 32, 16),
                         interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
-            scene(1, 5, 576, 800, 1000.0), {}, iters=4))
-        measure("cvp_eval_1152x1600_N5_maps_s", lambda: 1.0 / time_model(
+            scene(1, 5, 1184, 1600, 2892.0), {}, iters=3))
+        measure("cvp_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("cvp_mvsnet", dtype=jnp.bfloat16),
-            scene(1, 5, 1152, 1600, 2000.0), {"nscale": 5}, iters=3))
+            scene(1, 5, 1184, 1600, 2892.0), {"nscale": 5}, iters=3))
 
 
 if __name__ == "__main__":

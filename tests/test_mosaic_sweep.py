@@ -373,6 +373,112 @@ def test_fused_cost_volume_falls_back_when_window_exceeded():
                   - np.asarray(want, np.float32)).max() < 0.05
 
 
+def test_px_kernel_odd_rows_pads_interpret():
+    """Ref grids whose height is NOT a multiple of 8 (Vis stage 1 = 148,
+    CVP levels 74/148 at full-res eval) go through internal row padding:
+    px kernel, gwc kernel, and the fused multi-view kernel must all match
+    the exact gather on the original rows."""
+    from wildmvs.ops.mosaic_sweep import (fused_cost_volume_px,
+                                          mosaic_sweep_warp_px,
+                                          mosaic_sweep_warp_px_gwc,
+                                          mvsnet_planes, sweep_spans_px)
+    from wildmvs.ops.volumes import (groupwise_correlation,
+                                     variance_cost_volume)
+
+    H, W, C, D = 14, 40, 8, 6          # 14 % 8 != 0
+    rng = np.random.default_rng(31)
+    src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    ref = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)
+
+    want = plane_sweep_warp(src[None].astype(jnp.float32), src_proj[None],
+                            ref_proj[None], depths[None], (H, W))[0]
+    P, Q, sx, sy = mvsnet_planes(src_proj, ref_proj, (H, W))
+    plan = sweep_spans_px(P, Q, depths, (H, W))
+    assert int(plan["yspan"]) <= 1 and int(plan["xover"]) <= 0
+    out = mosaic_sweep_warp_px(src, P, Q, depths, plan, KY=2, KR=16,
+                               interpret=True)
+    assert out.shape == (D, H, C, W)
+    out_hw = np.asarray(jnp.transpose(out, (0, 1, 3, 2)), np.float32)
+    assert np.abs(out_hw - np.asarray(want, np.float32)).max() < 0.08
+
+    # gwc variant
+    ref_chw = jnp.transpose(ref, (0, 2, 1))
+    corr = mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, depths, plan,
+                                    groups=4, KY=2, KR=16, interpret=True)
+    assert corr.shape == (D, H, 4, W)
+    want_corr = groupwise_correlation(
+        jnp.broadcast_to(ref[None].astype(jnp.float32), want.shape),
+        want, 4)
+    corr_hw = np.asarray(jnp.transpose(corr, (0, 1, 3, 2)), np.float32)
+    assert np.abs(corr_hw - np.asarray(want_corr, np.float32)).max() < 0.25
+
+    # fused multi-view variance
+    feats = [ref[None], src[None],
+             jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)]
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    cv = fused_cost_volume_px(feats, proj, depths[None], (H, W),
+                              agg="variance", KR=18, interpret=True)
+    fns = [(lambda i=i: plane_sweep_warp(feats[i], proj[:, i], proj[:, 0],
+                                         depths[None], (H, W)))
+           for i in (1, 2)]
+    want_cv = variance_cost_volume(feats[0], warp_fns=fns, num_depth=D)
+    assert cv.shape == want_cv.shape == (1, D, H, W, C)
+    assert np.abs(np.asarray(cv, np.float32)
+                  - np.asarray(want_cv, np.float32)).max() < 0.15
+
+
+def test_cost_volume_mosaic_big_table_streams(monkeypatch):
+    """Big-table regime (resident corner table over budget — the full-res
+    DTU eval case): cost_volume_mosaic must dispatch the fused streamed
+    kernel with the per-view STREAMED fallback (never compiling the
+    resident v1 branch) and still match the gather aggregation."""
+    import wildmvs.ops.mosaic_sweep as ms
+    from wildmvs.ops.volumes import variance_cost_volume
+
+    # force the big-table regime + interpret-mode kernels on CPU
+    monkeypatch.setattr(ms, "TABLE_VMEM_LIMIT", 1)
+    real_fused = ms.fused_cost_volume_px
+    monkeypatch.setattr(
+        ms, "fused_cost_volume_px",
+        lambda *a, **k: real_fused(*a, **{**k, "interpret": True}))
+    real_px = ms.mosaic_sweep_warp_px
+    monkeypatch.setattr(
+        ms, "mosaic_sweep_warp_px",
+        lambda *a, **k: real_px(*a, **{**k, "interpret": True}))
+    monkeypatch.setattr(
+        ms, "fused_supported",
+        lambda ref_hw, src_hw, c, nv, dtype, KY=2:
+            dtype == jnp.bfloat16
+            and ms.fused_window_rows(src_hw, c, nv) > KY)
+
+    rng = np.random.default_rng(21)
+    B, N, H, W, C, D = 1, 3, 16, 40, 8, 12
+    feats = jnp.asarray(rng.standard_normal((B, N, H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W)
+    proj = jnp.stack([ref_proj, src_proj,
+                      src_proj.at[:3, 3].mul(0.5)], 0)[None]
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)[None]
+
+    cv = ms.cost_volume_mosaic(feats, proj, [1, 2], 0, depths, (H, W),
+                               "variance", D)
+    fns = [(lambda i=i: plane_sweep_warp(feats[:, i], proj[:, i],
+                                         proj[:, 0], depths, (H, W)))
+           for i in (1, 2)]
+    want = variance_cost_volume(feats[:, 0], warp_fns=fns, num_depth=D)
+    assert cv.shape == want.shape == (B, D, H, W, C)
+    assert np.abs(np.asarray(cv, np.float32)
+                  - np.asarray(want, np.float32)).max() < 0.15
+
+    # ineligible fused + big table must raise, not compile the resident v1
+    monkeypatch.setattr(ms, "fused_supported", lambda *a, **k: False)
+    with pytest.raises(ValueError, match="corner table"):
+        ms.cost_volume_mosaic(feats, proj, [1, 2], 0, depths, (H, W),
+                              "variance", D)
+
+
 def test_warp_mosaic_per_pixel_custom_vjp():
     """plane_sweep_warp_mosaic with [B, D, H, W] hypothesis maps (the CVP
     train refinement configuration): forward == gather to bf16 rounding

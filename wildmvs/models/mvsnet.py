@@ -128,6 +128,14 @@ class MVSNet(nn.Module):
         n = len(views)
         b = views[0].shape[0]
         dtype = views[0].dtype
+        for v in views:
+            vh, vw = v.shape[1:3]
+            if vh % 32 or vw % 32:
+                raise ValueError(
+                    f"MVSNet input images must be /32 multiples (the 3D "
+                    f"UNet's three stride-2 levels at 1/4 feature res), got "
+                    f"{vh}x{vw}; crop like the reference's "
+                    f"data/MVSDataset.py:77 (multi=32 center_crop)")
 
         # projection matrices at 1/4 feature resolution (model.py:183-185)
         proj = build_proj_matrices(scale_K(K, 0.25), R, t)  # [B, N, 4, 4]
@@ -184,7 +192,8 @@ class MVSNet(nn.Module):
             from ..ops.mosaic_sweep import mosaic_supported
             use = (not ragged and not hyp_active and feats is not None
                    and mosaic_supported(feats.shape[2:4], feats.shape[2:4],
-                                        feats.shape[-1], feats.dtype))
+                                        feats.shape[-1], feats.dtype,
+                                        nv=n - 1))
             method = "mosaic" if use else "gather"
         if ragged:
             method = "gather"  # fast paths assume uniform source sizes

@@ -303,7 +303,9 @@ def _kernel_px(ybase_ref, xtb_ref, wb_ref,
                out_ref,                         # VMEM [1, RB, C, Wp]
                win_ref, sem,                    # scratch: window + DMA sem
                ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
-               *, C, H, W, Ht, Wt, KY, KR, XC, NT, sx, sy):
+               *, C, H, W, PR, Ht, Wt, KY, KR, XC, NT, sx, sy):
+    # H, W: SOURCE dims (validity bounds); PR: plan/ref-grid rows (the
+    # possibly RB-padded row count the scalar-prefetch plan is laid out in)
     yy = pl.program_id(0)
     d_i = pl.program_id(1)
     C2 = C * 2
@@ -349,7 +351,7 @@ def _kernel_px(ybase_ref, xtb_ref, wb_ref,
             ls = pl.ds(xc * LANES, LANES)
             ix = ix_s[r, ls]
             iy = iy_s[r, ls]
-            pi = (d_i * H + yy * RB + r) * XC + xc
+            pi = (d_i * PR + yy * RB + r) * XC + xc
             ybase = ybase_ref[pi]
             xtb = xtb_ref[pi]
             iyl = jnp.clip(iy - ybase, 0, KY - 1)
@@ -421,6 +423,26 @@ def vis_planes(K_ref, R_ref, t_ref, K_src, R_src, t_src,
     return -Bp, Ap, (sw - 1.0) / sw, (sh - 1.0) / sh
 
 
+def _pad_ref_rows(P, Q, svals):
+    """Pad the reference-grid rows of (P, Q[, svals]) to a multiple of RB.
+
+    Pad rows get Q = -1e9 on all three planes, which forces z < 0 ->
+    invalid -> exact zeros from the kernels (the same convention as the
+    lane padding); callers slice the kernel output back to the original
+    row count. This lets the streamed kernels serve ref grids whose height
+    is not a multiple of 8 — Vis-MVSNet stage 1 (1184/8 = 148 rows) and
+    the odd CVP pyramid levels (74, 148) at full-res DTU eval."""
+    rh = P.shape[1]
+    hp = -(-rh // RB) * RB
+    if hp == rh:
+        return P, Q, svals, hp
+    P = jnp.pad(P, ((0, 0), (0, hp - rh), (0, 0)))
+    Q = jnp.pad(Q, ((0, 0), (0, hp - rh), (0, 0)), constant_values=-1e9)
+    if svals is not None and svals.ndim == 3:
+        svals = jnp.pad(svals, ((0, 0), (0, hp - rh), (0, 0)))
+    return P, Q, svals, hp
+
+
 def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
                    svals: jnp.ndarray, src_hw: tuple[int, int],
                    sx: float = 1.0, sy: float = 1.0,
@@ -439,6 +461,10 @@ def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
     """
     h, w = src_hw
     d = svals.shape[0]
+    # rows pad to the kernel grid's RB granularity (invalid rows, no span
+    # impact); the px kernel wrappers apply the identical padding, so the
+    # plan's row count always matches the kernel grid
+    P, Q, svals, _ = _pad_ref_rows(P, Q, svals)
     _, rh, rw = P.shape
     xc = (rw + LANES - 1) // LANES
     wp = xc * LANES
@@ -512,10 +538,11 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
     """
     h, w, C = src.shape
     D = svals.shape[0]
-    _, H, W = P.shape
+    H0 = P.shape[1]
+    P, Q, svals, H = _pad_ref_rows(P, Q, svals)   # rows to RB granularity
+    W = P.shape[2]
     XC = (W + LANES - 1) // LANES
     Wp = XC * LANES
-    assert H % RB == 0, (H, RB)
     table = build_corner_table_tiled(src)
     Wt, Ht, C2, _ = table.shape
     NT = min(2, Wt)
@@ -533,7 +560,7 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
     xtb = jnp.clip(plan["xtb"], 0, Wt - NT)
 
     kern = functools.partial(
-        _kernel_px, C=C, H=H, W=w, Ht=Ht, Wt=Wt, KY=KY, KR=KR, XC=XC,
+        _kernel_px, C=C, H=h, W=w, PR=H, Ht=Ht, Wt=Wt, KY=KY, KR=KR, XC=XC,
         NT=NT, sx=sx, sy=sy)
 
     row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
@@ -566,7 +593,7 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
         interpret=interpret,
     )(yb.reshape(-1), xtb.reshape(-1), wb,
       rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, table)
-    return out[..., :W]
+    return out[:, :H0, :, :W]
 
 
 def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
@@ -574,7 +601,7 @@ def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
                    qx_ref, qy_ref, qz_ref,
                    dmap_ref, ref_ref, table_ref, out_ref,
                    win_ref, sem, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
-                   *, C, G, H, W, Ht, Wt, KY, KR, XC, NT, sx, sy):
+                   *, C, G, H, W, PR, Ht, Wt, KY, KR, XC, NT, sx, sy):
     """_kernel_px with the group-wise correlation fused in: instead of the
     [C, 128] warped chunk, writes the [G, 128] per-group ref*warped dots
     (ops/volumes.groupwise_correlation semantics, nn_utils.py:473-490) —
@@ -618,7 +645,7 @@ def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
             ls = pl.ds(xc * LANES, LANES)
             ix = ix_s[r, ls]
             iy = iy_s[r, ls]
-            pi = (d_i * H + yy * RB + r) * XC + xc
+            pi = (d_i * PR + yy * RB + r) * XC + xc
             ybase = ybase_ref[pi]
             xtb = xtb_ref[pi]
             iyl = jnp.clip(iy - ybase, 0, KY - 1)
@@ -663,12 +690,15 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
     """
     h, w, C = src.shape
     D = svals.shape[0]
-    _, H, W = P.shape
+    H0 = P.shape[1]
+    P, Q, svals, H = _pad_ref_rows(P, Q, svals)   # rows to RB granularity
+    W = P.shape[2]
     G = groups
     assert C % G == 0
     XC = (W + LANES - 1) // LANES
     Wp = XC * LANES
-    assert H % RB == 0, (H, RB)
+    if H != H0:
+        ref_chw = jnp.pad(ref_chw, ((0, H - H0), (0, 0), (0, 0)))
     table = build_corner_table_tiled(src)
     Wt, Ht, C2, _ = table.shape
     NT = min(2, Wt)
@@ -688,8 +718,8 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
     xtb = jnp.clip(plan["xtb"], 0, Wt - NT)
 
     kern = functools.partial(
-        _kernel_px_gwc, C=C, G=G, H=h, W=w, Ht=Ht, Wt=Wt, KY=KY, KR=KR,
-        XC=XC, NT=NT, sx=sx, sy=sy)
+        _kernel_px_gwc, C=C, G=G, H=h, W=w, PR=H, Ht=Ht, Wt=Wt, KY=KY,
+        KR=KR, XC=XC, NT=NT, sx=sx, sy=sy)
 
     row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -722,7 +752,7 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
         interpret=interpret,
     )(yb.reshape(-1), xtb.reshape(-1), wb,
       rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, refp, table)
-    return out[..., :W]
+    return out[:, :H0, :, :W]
 
 
 # ---------------------------------------------------------------------------
@@ -885,7 +915,8 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
         beyond index 0 are the sources, model order).
       proj: [B, N, 4, 4] projections at feature resolution (same order).
       ref_depths: [B, D] or [B, D, H, W] hypotheses.
-      ref_hw: (H, W) of the reference grid, H % 8 == 0.
+      ref_hw: (H, W) of the reference grid (any H; rows are
+        RB-padded internally with invalid rows).
       agg: "variance" | "softmin" (temp = softmin temperature scalar).
       fallback: fallback(bb) -> [D, H, W, C] exact cost volume for batch
         element bb, taken when this element's spans exceed the kernel's
@@ -907,8 +938,8 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
     KR = fused_window_rows((h, w), feats_l[0].shape[-1], NV, KR=KR)
     XC = (W + LANES - 1) // LANES
     Wp = XC * LANES
-    ROWS = H
-    HBn = H // RB
+    ROWS = -(-H // RB) * RB          # ref rows, RB-padded (invalid pad rows)
+    HBn = ROWS // RB
     dtype = feats_l[0].dtype
 
     if fallback is None:
@@ -917,7 +948,7 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
             rp = proj[bb, 0]
             fns = [(lambda i=i: plane_sweep_warp(
                 feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
-                db[None] if db.ndim == 1 else db[None], ref_hw))
+                db[None], ref_hw))
                 for i in range(1, n)]
             if agg == "variance":
                 cv = variance_cost_volume(feats_l[0][bb:bb + 1],
@@ -934,6 +965,7 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
         ok = None
         for i in range(1, n):
             P, Q, sx, sy = mvsnet_planes(proj[bb, i], rp, ref_hw)
+            P, Q, _, _ = _pad_ref_rows(P, Q, None)  # rows -> ROWS
             plan = sweep_spans_px(P, Q, db, (h, w), dc=DC)
             planes.append((P, Q))
             plans.append(plan)
@@ -969,13 +1001,13 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
 
             if db.ndim == 1:
                 dmap = jnp.broadcast_to(
-                    db.astype(jnp.float32)[:, None, None], (D, H, Wp))
+                    db.astype(jnp.float32)[:, None, None], (D, ROWS, Wp))
             else:
                 dmap = jnp.pad(db.astype(jnp.float32),
-                               ((0, 0), (0, 0), (0, Wp - W)))
+                               ((0, 0), (0, ROWS - H), (0, Wp - W)))
             ref_chw = jnp.pad(
                 jnp.transpose(feats_l[0][bb], (0, 2, 1)),
-                ((0, 0), (0, 0), (0, Wp - W))).astype(jnp.bfloat16)
+                ((0, ROWS - H), (0, 0), (0, Wp - W))).astype(jnp.bfloat16)
             tempv = (jnp.zeros((1,), jnp.float32) if temp is None else
                      jnp.reshape(jnp.asarray(temp, jnp.float32), (-1,))[:1])
 
@@ -1015,11 +1047,12 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
             cv = pl.pallas_call(
                 kern,
                 grid_spec=grid_spec,
-                out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), dtype),
+                out_shape=jax.ShapeDtypeStruct((D, ROWS, C, Wp), dtype),
                 interpret=interpret,
             )(packed.reshape(-1), wb.reshape(-1), tempv,
               px, py, pz, qx, qy, qz, dmap, ref_chw, table)
-            return jnp.transpose(cv[..., :W], (0, 1, 3, 2))  # [D, H, W, C]
+            return jnp.transpose(cv[:, :H, :, :W],
+                                 (0, 1, 3, 2))               # [D, H, W, C]
 
         return jax.lax.cond(ok, kernel_branch, lambda: fallback(bb))
 
@@ -1034,8 +1067,8 @@ def fused_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
             return False
     except Exception:
         return False
+    # (ref rows need not be %RB — the wrapper pads them with invalid rows)
     return (dtype == jnp.bfloat16
-            and ref_hw[0] % RB == 0
             and fused_window_rows(src_hw, c, nv) > KY)
 
 
@@ -1117,7 +1150,8 @@ def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
       feats_l: list of [B, h, w, C] bf16 features, reference FIRST.
       proj: [B, N, 4, 4] level-scaled projections (same order).
       ref_depths: [B, D] or [B, D, H, W] hypotheses.
-      ref_hw: (H, W) of the reference grid (H % 8 == 0).
+      ref_hw: (H, W) of the reference grid (any H; rows are RB-padded
+        internally).
     Returns:
       [B, D, H, W, C] variance cost volume (feature dtype).
     """
@@ -1141,11 +1175,16 @@ def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
                       interpret=False):
     """Per-batch span-cond Mosaic warp -> [B, D, H, W, C].
 
-    Uniform depths [B, D]: resident v1 kernel (KY=2 -> KY=4 -> gather).
-    Per-pixel depths [B, D, H, W]: streamed px kernel -> gather.
+    Uniform depths [B, D]: resident v1 kernel (KY=2 -> KY=4 -> gather) —
+    unless the ref height isn't %8 or the corner table exceeds the
+    resident budget, where the streamed px kernel serves uniform depths
+    too. Per-pixel depths [B, D, H, W]: streamed px kernel -> gather.
     """
     from .plane_sweep import plane_sweep_warp
-    per_pixel = depth_values.ndim > 2
+    per_pixel = (depth_values.ndim > 2
+                 or ref_hw[0] % RB != 0
+                 or table_bytes(src_fea.shape[1:3],
+                                src_fea.shape[-1]) > TABLE_VMEM_LIMIT)
     outs = []
     for b in range(src_fea.shape[0]):
         def gather(b=b):
@@ -1227,13 +1266,15 @@ plane_sweep_warp_mosaic.defvjp(_warp_mosaic_fwd, _warp_mosaic_bwd)
 
 
 def mosaic_px_supported(ref_hw: tuple[int, int], dtype) -> bool:
-    """Static eligibility of the streamed px path."""
+    """Static eligibility of the streamed px path (any ref height — rows
+    that are not a multiple of 8 are padded with invalid rows inside the
+    wrappers, e.g. Vis stage 1 and the odd CVP levels at full-res eval)."""
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:
         return False
-    return dtype == jnp.bfloat16 and ref_hw[0] % RB == 0
+    return dtype == jnp.bfloat16
 
 
 def vis_mosaic_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
@@ -1413,16 +1454,23 @@ homography_sweep_warp_mosaic.defvjp(_hom_mosaic_fwd, _hom_mosaic_bwd)
 # ---------------------------------------------------------------------------
 
 def mosaic_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
-                     c: int, dtype) -> bool:
-    """Static (trace-time) eligibility of the Mosaic sweep path."""
+                     c: int, dtype, nv: int | None = None) -> bool:
+    """Static (trace-time) eligibility of the Mosaic sweep path.
+
+    Small sources: the resident-table regime (table fits TABLE_VMEM_LIMIT).
+    Big sources (full-res DTU eval): eligible iff `nv` is given and the
+    fused streamed kernel accepts NV row windows in its VMEM budget —
+    cost_volume_mosaic then never compiles the resident branch."""
     try:
         if jax.default_backend() != "tpu":
             return False
     except Exception:
         return False
-    return (dtype == jnp.bfloat16
-            and ref_hw[0] % RB == 0
-            and table_bytes(src_hw, c) <= TABLE_VMEM_LIMIT)
+    if dtype != jnp.bfloat16 or ref_hw[0] % RB != 0:
+        return False
+    if table_bytes(src_hw, c) <= TABLE_VMEM_LIMIT:
+        return True
+    return nv is not None and fused_supported(ref_hw, src_hw, c, nv, dtype)
 
 
 def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
@@ -1445,26 +1493,43 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
       proj: [B, N, 4, 4] projection matrices at feature resolution.
       src_idx: source view indices; reference_frame: ref view index.
       ref_depths: [B, D] hypothesis depths.
-      ref_hw: (H, W) reference grid (H % 8 == 0).
+      ref_hw: (H, W) reference grid (any H).
       agg: "variance" | "softmin"; temp: softmin temperature param.
     Returns:
       [B, D, H, W, C] cost volume (feature dtype).
     """
     b = feats.shape[0]
     NV = len(src_idx)
+    src_hw = feats.shape[2:4]
+    resident_ok = table_bytes(src_hw, feats.shape[-1]) <= TABLE_VMEM_LIMIT
 
     def v1_one(bb):
         return _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
                                       ref_depths, ref_hw, agg, num_depth,
                                       temp, bb)
 
-    if fused_supported(ref_hw, feats.shape[2:4], feats.shape[-1], NV,
-                       feats.dtype):
+    if fused_supported(ref_hw, src_hw, feats.shape[-1], NV, feats.dtype):
         order = [reference_frame] + list(src_idx)
         feats_l = [feats[:, i] for i in order]
         proj_ro = proj[:, jnp.array(order)]
+        if resident_ok:
+            fallback = v1_one
+        elif agg == "variance":
+            # big-table regime (e.g. full-res DTU eval, 296x400 features —
+            # the resident corner table would be ~39 MB): never compile the
+            # resident v1 branch; fall back to the per-view STREAMED kernel
+            def fallback(bb):
+                return _variance_px_perview(feats_l, proj_ro, ref_depths,
+                                            ref_hw, bb)
+        else:
+            fallback = None          # softmin big-table: exact gather
         return fused_cost_volume_px(feats_l, proj_ro, ref_depths, ref_hw,
-                                    agg=agg, temp=temp, fallback=v1_one)
+                                    agg=agg, temp=temp, fallback=fallback)
+    if not resident_ok:
+        raise ValueError(
+            f"cost_volume_mosaic: corner table {table_bytes(src_hw, feats.shape[-1])} B "
+            f"exceeds the resident budget and the fused streamed kernel is "
+            f"ineligible for src_hw={src_hw} — gate with mosaic_supported()")
     return jnp.stack([v1_one(bb) for bb in range(b)])
 
 
