@@ -11,8 +11,11 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
 """
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 ITERS = 4
 

@@ -1481,12 +1481,17 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
     Dispatch cascade, ONE runtime lax.cond tree around the WHOLE
     aggregation per batch element (the per-view cond materializes branch
     results — see ops.wide_sweep.cost_volume_wide):
-      1. v3 FUSED multi-view kernel (in-register Sum/Sum^2 or softmin
-         stats, the only HBM volume is the final cost volume) when every
-         view's spans fit its window;
-      2. else per-view v1 resident kernel, span <= 1 -> KY=2,
-         span <= 3 -> KY=4;
-      3. else the exact XLA gather.
+      * resident regime (corner table fits TABLE_VMEM_LIMIT): per-view v1
+        resident kernel, span <= 1 -> KY=2, span <= 3 -> KY=4, else exact
+        gather. Measured ON PAR with the v3 fused kernel at the headline
+        size (12.36 vs 12.56 ms cost-volume-only, tools/probe_fused.py):
+        the fused kernel's per-(depth-chunk, row-block) window DMAs spend
+        what its saved volume writes buy, and the resident table never
+        re-fetches — so the simpler v1 keeps tier 1 here.
+      * big-table regime (full-res DTU eval): v3 FUSED multi-view kernel
+        (in-register Sum/Sum^2 or softmin stats, the only HBM volume is
+        the final cost volume) when every view's spans fit its window,
+        else the per-view streamed kernel (variance) / exact gather.
 
     Args:
       feats: [B, N, h, w, C] bf16 view features.
@@ -1508,13 +1513,13 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
                                       ref_depths, ref_hw, agg, num_depth,
                                       temp, bb)
 
+    if resident_ok:
+        return jnp.stack([v1_one(bb) for bb in range(b)])
     if fused_supported(ref_hw, src_hw, feats.shape[-1], NV, feats.dtype):
         order = [reference_frame] + list(src_idx)
         feats_l = [feats[:, i] for i in order]
         proj_ro = proj[:, jnp.array(order)]
-        if resident_ok:
-            fallback = v1_one
-        elif agg == "variance":
+        if agg == "variance":
             # big-table regime (e.g. full-res DTU eval, 296x400 features —
             # the resident corner table would be ~39 MB): never compile the
             # resident v1 branch; fall back to the per-view STREAMED kernel
@@ -1525,12 +1530,10 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
             fallback = None          # softmin big-table: exact gather
         return fused_cost_volume_px(feats_l, proj_ro, ref_depths, ref_hw,
                                     agg=agg, temp=temp, fallback=fallback)
-    if not resident_ok:
-        raise ValueError(
-            f"cost_volume_mosaic: corner table {table_bytes(src_hw, feats.shape[-1])} B "
-            f"exceeds the resident budget and the fused streamed kernel is "
-            f"ineligible for src_hw={src_hw} — gate with mosaic_supported()")
-    return jnp.stack([v1_one(bb) for bb in range(b)])
+    raise ValueError(
+        f"cost_volume_mosaic: corner table {table_bytes(src_hw, feats.shape[-1])} B "
+        f"exceeds the resident budget and the fused streamed kernel is "
+        f"ineligible for src_hw={src_hw} — gate with mosaic_supported()")
 
 
 def _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
