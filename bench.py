@@ -57,6 +57,39 @@ def scene(b, n, h, w, f):
     return imgs, K, R, t, dmin, dmax
 
 
+def scene_dtu(b, n, h, w, f):
+    """DTU-like rig: cameras on a ~650mm sphere, ~6 deg steps (pair.txt
+    neighbor geometry). Unlike `scene` (mm-scale baselines kept for
+    round-over-round headline comparability), this produces the REAL warp
+    spans, so the kernel-vs-gather dispatch exercises the branches the
+    eval protocol actually takes (tools/eval_span_study.py)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    imgs = jnp.array(rng.random((b, n, h, w, 3)).astype(np.float32))
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    Ks, Rs, ts = [], [], []
+    up = np.array([0.0, -1.0, 0.0])
+    for i in range(n):
+        az = np.deg2rad(6.0) * ((i + 1) // 2) * (-1) ** i
+        el = np.deg2rad(3.0) * (i % 3 - 1)
+        d = np.array([np.sin(az) * np.cos(el), np.sin(el),
+                      -np.cos(az) * np.cos(el)])
+        eye = -650.0 * d
+        z = -eye / np.linalg.norm(eye)
+        x = np.cross(up, z); x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        R = np.stack([x, y, z], 0).astype(np.float32)
+        ts.append((-R @ eye).astype(np.float32).reshape(3, 1))
+        Rs.append(R)
+        Ks.append(K)
+    K = jnp.array(np.tile(np.stack(Ks)[None], (b, 1, 1, 1)))
+    R = jnp.array(np.tile(np.stack(Rs)[None], (b, 1, 1, 1)))
+    t = jnp.array(np.tile(np.stack(ts)[None], (b, 1, 1, 1)))
+    dmin = jnp.full((b, n), 425.0)
+    dmax = jnp.full((b, n), 935.0)
+    return imgs, K, R, t, dmin, dmax
+
+
 def time_model(model, args, kwargs, iters, repeats=3):
     """Best-of-repeats seconds per forward.
 
@@ -160,18 +193,23 @@ def main():
         # pipeline_utils.py:133-154 is the OUTPUT depth/image scale used by
         # filtering.py:51-58 to upsample depth back to image coords (mvsnet
         # /4 -> 296x400 maps, vis /2 -> 592x800, cvp /1), NOT an input
-        # resize. f=2892 matches DTU full-res intrinsics.
+        # resize. f=2892 matches DTU full-res intrinsics; the DTU-like rig
+        # makes the warp spans (and so the kernel dispatch) realistic.
+        measure("mvsnet_train_dtugeo_maps_s", lambda: 1.0 / time_model(
+            build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
+                        sweep_method=SWEEP_METHOD),
+            scene_dtu(1, 3, 512, 640, 1156.8), {}, iters=10))
         measure("mvsnet_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD),
-            scene(1, 5, 1184, 1600, 2892.0), {}, iters=4))
+            scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4))
         measure("vis_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("vis_mvsnet", depth_nums=(64, 32, 16),
                         interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
-            scene(1, 5, 1184, 1600, 2892.0), {}, iters=3))
+            scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=3))
         measure("cvp_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("cvp_mvsnet", dtype=jnp.bfloat16),
-            scene(1, 5, 1184, 1600, 2892.0), {"nscale": 5}, iters=3))
+            scene_dtu(1, 5, 1184, 1600, 2892.0), {"nscale": 5}, iters=3))
 
 
 if __name__ == "__main__":

@@ -414,20 +414,92 @@ def test_px_kernel_odd_rows_pads_interpret():
     corr_hw = np.asarray(jnp.transpose(corr, (0, 1, 3, 2)), np.float32)
     assert np.abs(corr_hw - np.asarray(want_corr, np.float32)).max() < 0.25
 
-    # fused multi-view variance
+    # fused multi-view variance — uniform AND per-pixel hypotheses (the
+    # per-pixel + odd-rows combination is the CVP full-res crash of
+    # 2026-08-20: pre-padded P/Q with unpadded [D, H, W] svals)
     feats = [ref[None], src[None],
              jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)]
     proj = jnp.stack([ref_proj, src_proj,
                       src_proj.at[:3, 3].mul(0.5)], 0)[None]
-    cv = fused_cost_volume_px(feats, proj, depths[None], (H, W),
-                              agg="variance", KR=18, interpret=True)
-    fns = [(lambda i=i: plane_sweep_warp(feats[i], proj[:, i], proj[:, 0],
-                                         depths[None], (H, W)))
-           for i in (1, 2)]
-    want_cv = variance_cost_volume(feats[0], warp_fns=fns, num_depth=D)
-    assert cv.shape == want_cv.shape == (1, D, H, W, C)
-    assert np.abs(np.asarray(cv, np.float32)
-                  - np.asarray(want_cv, np.float32)).max() < 0.15
+    base = 600.0 + 20.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 10.0 * np.cos(np.linspace(0, 2, W))[None, :]
+    perpix = jnp.asarray((base[None] + np.linspace(-15, 15, D)[:, None, None]
+                          ).astype(np.float32))[None]
+    for hyp in (depths[None], perpix):
+        cv = fused_cost_volume_px(feats, proj, hyp, (H, W),
+                                  agg="variance", KR=18, interpret=True)
+        fns = [(lambda i=i, hyp=hyp: plane_sweep_warp(
+            feats[i], proj[:, i], proj[:, 0], hyp, (H, W)))
+            for i in (1, 2)]
+        want_cv = variance_cost_volume(feats[0], warp_fns=fns, num_depth=D)
+        assert cv.shape == want_cv.shape == (1, D, H, W, C)
+        assert np.abs(np.asarray(cv, np.float32)
+                      - np.asarray(want_cv, np.float32)).max() < 0.15
+
+
+def test_px_kernel_tier_b_wide_window_interpret():
+    """TIER_B (KY=8, NT=3) px kernel == exact gather on geometry whose
+    yspan exceeds the default KY=2 window (the realistic-DTU-eval regime,
+    tools/eval_span_study.py)."""
+    from wildmvs.ops.mosaic_sweep import (TIER_B, mosaic_sweep_warp_px,
+                                          mvsnet_planes, sweep_spans_px,
+                                          tier_b_kr)
+
+    H, W, C, D = 24, 160, 8, 8
+    rng = np.random.default_rng(41)
+    src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    src_proj, ref_proj = _rig(H, W, roll=0.04)
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)
+
+    P, Q, sx, sy = mvsnet_planes(src_proj, ref_proj, (H, W))
+    planA = sweep_spans_px(P, Q, depths, (H, W))
+    planB = sweep_spans_px(P, Q, depths, (H, W), nt=TIER_B["NT"])
+    assert int(planA["yspan"]) > 1, "geometry must exceed tier A"
+    assert int(planB["yspan"]) <= TIER_B["KY"] - 1
+    assert int(planB["xover"]) <= 0
+
+    KRb = tier_b_kr((H, W), C)
+    assert int(planB["wspan"]) <= KRb - TIER_B["KY"]
+    out = mosaic_sweep_warp_px(src, P, Q, depths, planB, KY=TIER_B["KY"],
+                               KR=KRb, NT=TIER_B["NT"], interpret=True)
+    want = plane_sweep_warp(src[None].astype(jnp.float32), src_proj[None],
+                            ref_proj[None], depths[None], (H, W))[0]
+    out_hw = np.asarray(jnp.transpose(out, (0, 1, 3, 2)), np.float32)
+    assert np.abs(out_hw - np.asarray(want, np.float32)).max() < 0.08
+
+
+def test_warp_mosaic_impl_dispatches_tier_b(monkeypatch):
+    """The per-pixel dispatch takes tier B (not the gather) for
+    moderate-roll geometry, and the gather for extreme geometry — observed
+    with a sentinel kernel."""
+    import wildmvs.ops.mosaic_sweep as ms
+
+    monkeypatch.setattr(
+        ms, "mosaic_sweep_warp_px",
+        lambda src, P, Q, sv, plan, **k: jnp.full(
+            (sv.shape[0], P.shape[1], src.shape[-1], P.shape[2]), -7.0,
+            jnp.bfloat16))
+
+    H, W, C, D = 24, 160, 8, 6
+    rng = np.random.default_rng(42)
+    src = jnp.asarray(rng.standard_normal((1, H, W, C)), jnp.bfloat16)
+    base = 600.0 + 10.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 5.0 * np.cos(np.linspace(0, 2, W))[None, :]
+    perpix = jnp.asarray(
+        (base[None] + np.linspace(-15, 15, D)[:, None, None]
+         ).astype(np.float32))[None]
+
+    src_proj, ref_proj = _rig(H, W, roll=0.04)   # yspan > 1, fits tier B
+    out = ms._warp_mosaic_impl(src, src_proj[None], ref_proj[None],
+                               perpix, (H, W))
+    assert (np.asarray(out, np.float32) == -7.0).all(), \
+        "moderate roll must dispatch a kernel tier, not the gather"
+
+    src_proj2, ref_proj2 = _rig(H, W, roll=1.2)  # extreme: nothing fits
+    out2 = ms._warp_mosaic_impl(src, src_proj2[None], ref_proj2[None],
+                                perpix, (H, W))
+    assert not (np.asarray(out2, np.float32) == -7.0).all(), \
+        "extreme geometry must fall back to the gather"
 
 
 def test_cost_volume_mosaic_big_table_streams(monkeypatch):

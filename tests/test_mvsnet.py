@@ -220,3 +220,23 @@ def test_masked_median_matches_sort():
             gk = float(masked_kth_smallest(jnp.asarray(x), jnp.asarray(valid),
                                            jnp.int32(k)))
             assert gk == float(sel[k]), (n, k, gk, sel[k])
+
+
+def test_depth_chunked_gather_matches_unchunked(rng, monkeypatch):
+    """The depth-chunked gather aggregation (the eval-res memory-bounding
+    path, ops/volumes.depth_chunked_volume) produces the same depth map as
+    the unchunked gather."""
+    import wildmvs.ops.volumes as vols
+
+    args = _sample(rng)
+    model = build_model("mvsnet", num_depth=48)
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+    want = model.apply(variables, *args, train=False)["depth"]
+
+    # force chunking (12 planes per slab) through the model's gather branch
+    monkeypatch.setattr(vols, "gather_chunk_planes",
+                        lambda nd, hw, c, limit=0: 12)
+    got = model.apply(variables, *args, train=False)["depth"]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0, atol=1e-5)

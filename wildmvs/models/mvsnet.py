@@ -213,10 +213,10 @@ class MVSNet(nn.Module):
         temp = (self.param("temp", nn.initializers.ones, (1,), jnp.float32)
                 if agg == "softmin" else None)
 
-        def agg_fn(ref_feat, fns):
+        def agg_fn(ref_feat, fns, nd=None):
             if agg == "variance":
                 return variance_cost_volume(ref_feat, warp_fns=fns,
-                                            num_depth=self.num_depth)
+                                            num_depth=nd or self.num_depth)
             elif agg == "softmin":
                 return softmin_cost_volume(ref_feat, warp_fns=fns,
                                            temperature=temp)
@@ -238,12 +238,29 @@ class MVSNet(nn.Module):
                                            reference_frame, ref_depths,
                                            (fh, fw), agg_fn)
         else:
-            warp_fns = [
-                (lambda i=i: warp_fn(feats_l[i], proj[:, i], ref_proj,
-                                     ref_depths, (fh, fw)))
-                for i in src_idx
-            ]
-            cost_volume = agg_fn(ref_feature, warp_fns)
+            from ..ops.volumes import (depth_chunked_volume,
+                                       gather_chunk_planes)
+            dcg = gather_chunk_planes(self.num_depth, (fh, fw),
+                                      ref_feature.shape[-1])
+
+            def cv_slab(db):                       # db [B, dc]
+                fns = [
+                    (lambda i=i: warp_fn(feats_l[i], proj[:, i], ref_proj,
+                                         db, (fh, fw)))
+                    for i in src_idx
+                ]
+                return agg_fn(ref_feature, fns, db.shape[-1])
+
+            if hyp_active or dcg >= self.num_depth:
+                cost_volume = cv_slab(ref_depths)
+            else:
+                # eval-res gather volumes blow past HBM unchunked (the
+                # [dc, H, W, 4C] per-view gather intermediate is the peak);
+                # lax.map over depth slabs bounds it. Chunking is skipped
+                # under hyp-axis sharding (the slab map would fight the
+                # depth partitioning).
+                cost_volume = depth_chunked_volume(cv_slab, ref_depths,
+                                                   dcg)
 
         if self.hyp_axis is not None:
             from jax.sharding import PartitionSpec, get_abstract_mesh

@@ -438,21 +438,34 @@ def _pad_ref_rows(P, Q, svals):
         return P, Q, svals, hp
     P = jnp.pad(P, ((0, 0), (0, hp - rh), (0, 0)))
     Q = jnp.pad(Q, ((0, 0), (0, hp - rh), (0, 0)), constant_values=-1e9)
-    if svals is not None and svals.ndim == 3:
-        svals = jnp.pad(svals, ((0, 0), (0, hp - rh), (0, 0)))
+    svals = _align_sval_rows(svals, hp)
     return P, Q, svals, hp
+
+
+def _align_sval_rows(svals, rows):
+    """Pad per-pixel svals rows up to `rows` (no-op for [D] svals or when
+    already aligned — e.g. when the caller pre-padded P/Q but passes the
+    original [D, H, W] hypothesis maps)."""
+    if svals is not None and svals.ndim == 3 and svals.shape[1] != rows:
+        svals = jnp.pad(svals, ((0, 0), (0, rows - svals.shape[1]), (0, 0)))
+    return svals
 
 
 def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
                    svals: jnp.ndarray, src_hw: tuple[int, int],
                    sx: float = 1.0, sy: float = 1.0,
-                   dc: int | None = None):
+                   dc: int | None = None, nt: int = 2):
     """Window plan for the per-pixel kernel (coords = (P*s + Q)/(Pz*s+Qz)).
 
     svals: [D] or [D, H, W]. Returns dict with ybase/xtb [D, H, XC] i32,
     wb [HB] i32, and the exactness stats (yspan, xover, wspan int32
     scalars): exact iff yspan <= KY-1, xover <= 0 (per-chunk max corner col
-    inside its 2-tile window), wspan <= KR - KY.
+    inside its nt-tile window), wspan <= KR - KY.
+
+    nt: x-window width in 128-lane tiles the kernel will use (must match
+    the kernel's NT). Realistic DTU eval geometry at 296x400 features
+    overflows the default 2-tile window (xover up to ~6 px); nt=3 covers
+    it at the cost of one more gather per (KY, chunk).
 
     dc: depth-chunk size for the fused kernel — the window is then computed
     per (depth chunk, row block) (wb [D//dc, HB], wspan the max over
@@ -466,6 +479,7 @@ def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
     # plan's row count always matches the kernel grid
     P, Q, svals, _ = _pad_ref_rows(P, Q, svals)
     _, rh, rw = P.shape
+    svals = _align_sval_rows(svals, rh)
     xc = (rw + LANES - 1) // LANES
     wp = xc * LANES
 
@@ -501,10 +515,10 @@ def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
     ybase = jnp.where(ymin > big / 2, 0.0, ymin).astype(jnp.int32)
     xtb = (jnp.where(xmin > big / 2, 0.0, xmin) // LANES).astype(jnp.int32)
     # exact x condition: every chunk's max corner col must fall inside its
-    # 2-tile window [xtb*128, (xtb+2)*128) — alignment-dependent, NOT a
+    # nt-tile window [xtb*128, (xtb+nt)*128) — alignment-dependent, NOT a
     # plain span bound (xover <= 0 iff exact; all-invalid chunks pass)
     xhi = jnp.where(xmax < -big / 2, 0.0, xmax)
-    xover = (xhi - ((xtb + 2) * LANES - 1).astype(jnp.float32)) \
+    xover = (xhi - ((xtb + nt) * LANES - 1).astype(jnp.float32)) \
         .max().astype(jnp.int32)
     # per row-block (and optionally per depth-chunk): window rows needed
     hb = rh // RB
@@ -527,7 +541,7 @@ def sweep_spans_px(P: jnp.ndarray, Q: jnp.ndarray,
 
 def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
                          svals: jnp.ndarray, plan: dict,
-                         KY: int = 2, KR: int = 32,
+                         KY: int = 2, KR: int = 32, NT: int = 2,
                          sx: float = 1.0, sy: float = 1.0,
                          interpret: bool = False) -> jnp.ndarray:
     """Streamed-window warp, coords = (P*s + Q)/(Pz*s + Qz) * (sx, sy).
@@ -540,12 +554,13 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
     D = svals.shape[0]
     H0 = P.shape[1]
     P, Q, svals, H = _pad_ref_rows(P, Q, svals)   # rows to RB granularity
+    svals = _align_sval_rows(svals, H)
     W = P.shape[2]
     XC = (W + LANES - 1) // LANES
     Wp = XC * LANES
     table = build_corner_table_tiled(src)
     Wt, Ht, C2, _ = table.shape
-    NT = min(2, Wt)
+    NT = min(NT, Wt)
     KR = min(KR, Ht)
     rp = jnp.pad(P, ((0, 0), (0, 0), (0, Wp - W)), constant_values=0.0)
     qp = jnp.pad(Q, ((0, 0), (0, 0), (0, Wp - W)), constant_values=-1e9)
@@ -681,6 +696,7 @@ def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
 
 def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
                              groups: int = 8, KY: int = 2, KR: int = 32,
+                             NT: int = 2,
                              sx: float = 1.0, sy: float = 1.0,
                              interpret: bool = False) -> jnp.ndarray:
     """Streamed warp with the group-wise correlation fused in.
@@ -692,6 +708,7 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
     D = svals.shape[0]
     H0 = P.shape[1]
     P, Q, svals, H = _pad_ref_rows(P, Q, svals)   # rows to RB granularity
+    svals = _align_sval_rows(svals, H)
     W = P.shape[2]
     G = groups
     assert C % G == 0
@@ -701,7 +718,7 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
         ref_chw = jnp.pad(ref_chw, ((0, H - H0), (0, 0), (0, 0)))
     table = build_corner_table_tiled(src)
     Wt, Ht, C2, _ = table.shape
-    NT = min(2, Wt)
+    NT = min(NT, Wt)
     KR = min(KR, Ht)
     rp = jnp.pad(P, ((0, 0), (0, 0), (0, Wp - W)), constant_values=0.0)
     qp = jnp.pad(Q, ((0, 0), (0, 0), (0, Wp - W)), constant_values=-1e9)
@@ -944,19 +961,29 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
 
     if fallback is None:
         def fallback(bb):
+            from .volumes import depth_chunked_volume, gather_chunk_planes
             db = ref_depths[bb]
             rp = proj[bb, 0]
-            fns = [(lambda i=i: plane_sweep_warp(
-                feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
-                db[None], ref_hw))
-                for i in range(1, n)]
-            if agg == "variance":
-                cv = variance_cost_volume(feats_l[0][bb:bb + 1],
-                                          warp_fns=fns, num_depth=D)
-            else:
-                cv = softmin_cost_volume(feats_l[0][bb:bb + 1],
-                                         warp_fns=fns, temperature=temp)
-            return cv[0]
+
+            def cv_slab(db_s):
+                fns = [(lambda i=i: plane_sweep_warp(
+                    feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
+                    db_s[None], ref_hw))
+                    for i in range(1, n)]
+                if agg == "variance":
+                    cv = variance_cost_volume(feats_l[0][bb:bb + 1],
+                                              warp_fns=fns,
+                                              num_depth=db_s.shape[-1])
+                else:
+                    cv = softmin_cost_volume(feats_l[0][bb:bb + 1],
+                                             warp_fns=fns,
+                                             temperature=temp)
+                return cv[0]
+
+            if db.ndim != 1:
+                return cv_slab(db)
+            dcg = gather_chunk_planes(D, (h, w), feats_l[0].shape[-1])
+            return depth_chunked_volume(cv_slab, db, dcg)
 
     def one(bb):
         db = ref_depths[bb]
@@ -1072,65 +1099,108 @@ def fused_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
             and fused_window_rows(src_hw, c, nv) > KY)
 
 
+TIER_B = dict(KY=8, NT=3)   # wide streamed window: realistic DTU eval
+# geometry at 296x400 features shows yspan up to 7 and xover up to ~6 px
+# (tools/eval_span_study.py), which the default (KY=2, NT=2) window can't
+# cover — tier B trades KY*NT/4 = 6x the per-chunk gather work for still
+# beating the XLA gather's per-index floor
+
+
+def tier_b_kr(src_hw: tuple[int, int], c: int,
+              budget: int = 24 * 2 ** 20, cap: int = 96) -> int:
+    """Tier-B row-window height: as tall as the VMEM budget allows (the
+    realistic-geometry wspan reaches ~76 rows per view at eval res)."""
+    h, w = src_hw
+    wt = (w + 2 + LANES - 1) // LANES
+    row = wt * 2 * c * LANES * 4
+    return max(0, min(cap, h + 2, budget // row))
+
+
+def _plan_fit(plan, KY, KR, NT, Ht):
+    ok = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
+    if KR < Ht:
+        ok = ok & (plan["wspan"] <= KR - KY)
+    return ok
+
+
 def _variance_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
                          KY: int = 2, KR: int = 48,
                          interpret: bool = False) -> jnp.ndarray:
-    """Pre-v3 per-view streamed-kernel variance for batch element bb:
-    each source view warps through mosaic_sweep_warp_px (whole per-view
-    window budget) and XLA accumulates Sum/Sum^2; exact-gather fallback
-    behind one cond. Kept as the middle dispatch tier — at sizes where the
-    fused kernel's NV-view window budget collapses (e.g. CVP full-res
-    refinements) the per-view kernel still beats the gather ~3.5-5x."""
+    """Per-view streamed-kernel variance for batch element bb: each source
+    view warps through mosaic_sweep_warp_px (whole per-view window budget)
+    and XLA accumulates Sum/Sum^2. Two kernel tiers behind nested conds —
+    (KY, NT=2) then the wide TIER_B window for realistic eval geometry —
+    then the exact gather. At sizes where the fused kernel's NV-view
+    window budget collapses (e.g. CVP full-res refinements) this per-view
+    path still beats the gather ~3.5-5x."""
     from .plane_sweep import plane_sweep_warp
     from .volumes import variance_cost_volume
 
     n = len(feats_l)
     h, w = feats_l[1].shape[1:3]
+    c = feats_l[0].shape[-1]
     Ht = h + 2
-    KR = min(KR, Ht)
-    full_window = KR == Ht
+    KRa = min(KR, Ht)
+    KYb, NTb = TIER_B["KY"], TIER_B["NT"]
+    KRb = tier_b_kr((h, w), c)
     num_depth = ref_depths.shape[1]
     dtype = feats_l[0].dtype
 
     db = ref_depths[bb]
     rp = proj[bb, 0]
-    planes = []
-    ok = None
+    planes, okA, okB = [], None, None
     for i in range(1, n):
         P, Q, sx, sy = mvsnet_planes(proj[bb, i], rp, ref_hw)
-        plan = sweep_spans_px(P, Q, db, (h, w))
-        planes.append((i, P, Q, plan))
-        fit = (plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
-        if not full_window:
-            fit = fit & (plan["wspan"] <= KR - KY)
-        ok = fit if ok is None else ok & fit
+        planA = sweep_spans_px(P, Q, db, (h, w))
+        planB = sweep_spans_px(P, Q, db, (h, w), nt=NTb)
+        planes.append((i, P, Q, planA, planB))
+        fitA = _plan_fit(planA, KY, KRa, 2, Ht)
+        fitB = _plan_fit(planB, KYb, KRb, NTb, Ht)
+        okA = fitA if okA is None else okA & fitA
+        okB = fitB if okB is None else okB & fitB
 
-    def kernel_branch():
-        ref_v = jnp.transpose(feats_l[0][bb],
-                              (0, 2, 1))[None].astype(jnp.float32)
-        vol_sum = None
-        vol_sq = None
-        for i, P, Q, plan in planes:
-            warped = mosaic_sweep_warp_px(
-                feats_l[i][bb], P, Q, db, plan, KY=KY, KR=KR,
-                interpret=interpret).astype(jnp.float32)  # [D, H, C, W]
-            sq = warped ** 2
-            vol_sum = warped if vol_sum is None else vol_sum + warped
-            vol_sq = sq if vol_sq is None else vol_sq + sq
-        vol_sum = vol_sum + ref_v
-        vol_sq = vol_sq + ref_v ** 2
-        cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
-        return jnp.transpose(cv, (0, 1, 3, 2))            # [D, H, W, C]
+    def kernel_branch(tier):
+        def fn():
+            ref_v = jnp.transpose(feats_l[0][bb],
+                                  (0, 2, 1))[None].astype(jnp.float32)
+            vol_sum = None
+            vol_sq = None
+            for i, P, Q, planA, planB in planes:
+                plan, ky, kr, nt = ((planA, KY, KRa, 2) if tier == 0
+                                    else (planB, KYb, KRb, NTb))
+                warped = mosaic_sweep_warp_px(
+                    feats_l[i][bb], P, Q, db, plan, KY=ky, KR=kr, NT=nt,
+                    interpret=interpret).astype(jnp.float32)  # [D,H,C,W]
+                sq = warped ** 2
+                vol_sum = warped if vol_sum is None else vol_sum + warped
+                vol_sq = sq if vol_sq is None else vol_sq + sq
+            vol_sum = vol_sum + ref_v
+            vol_sq = vol_sq + ref_v ** 2
+            cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
+            return jnp.transpose(cv, (0, 1, 3, 2))        # [D, H, W, C]
+        return fn
 
     def gather_branch():
-        fns = [(lambda i=i: plane_sweep_warp(
-            feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
-            db[None], ref_hw)) for i in range(1, n)]
-        return variance_cost_volume(feats_l[0][bb:bb + 1],
-                                    warp_fns=fns,
-                                    num_depth=num_depth)[0]
+        from .volumes import depth_chunked_volume, gather_chunk_planes
 
-    return jax.lax.cond(ok, kernel_branch, gather_branch)
+        def cv_slab(db_s):
+            fns = [(lambda i=i: plane_sweep_warp(
+                feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
+                db_s[None], ref_hw)) for i in range(1, n)]
+            return variance_cost_volume(feats_l[0][bb:bb + 1],
+                                        warp_fns=fns,
+                                        num_depth=db_s.shape[-1])[0]
+
+        if db.ndim != 1:
+            return cv_slab(db)
+        dcg = gather_chunk_planes(num_depth, (h, w), c)
+        return depth_chunked_volume(cv_slab, db, dcg)
+
+    if KRb < KYb:                     # degenerate budget: no tier B
+        return jax.lax.cond(okA, kernel_branch(0), gather_branch)
+    return jax.lax.cond(
+        okA, kernel_branch(0),
+        lambda: jax.lax.cond(okB, kernel_branch(1), gather_branch))
 
 
 def variance_volume_mosaic_px(feats_l, proj, ref_depths, ref_hw,
@@ -1195,21 +1265,33 @@ def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
 
         if per_pixel:
             P, Q, _, _ = mvsnet_planes(src_proj[b], ref_proj[b], ref_hw)
-            plan = sweep_spans_px(P, Q, depth_values[b],
-                                  src_fea.shape[1:3])
-            Ht = src_fea.shape[1] + 2
-            KR = min(48, Ht)
-            ok = (plan["yspan"] <= 1) & (plan["xover"] <= 0)
-            if KR < Ht:
-                ok = ok & (plan["wspan"] <= KR - 2)
+            hw = src_fea.shape[1:3]
+            Ht = hw[0] + 2
+            planA = sweep_spans_px(P, Q, depth_values[b], hw)
+            planB = sweep_spans_px(P, Q, depth_values[b], hw,
+                                   nt=TIER_B["NT"])
+            KRa = min(48, Ht)
+            KYb, NTb = TIER_B["KY"], TIER_B["NT"]
+            KRw = tier_b_kr(hw, src_fea.shape[-1])
+            okA = _plan_fit(planA, 2, KRa, 2, Ht)
+            okB = _plan_fit(planB, KYb, KRw, NTb, Ht)
 
-            def kern_px(b=b, P=P, Q=Q, plan=plan, KR=KR):
-                out = mosaic_sweep_warp_px(src_fea[b], P, Q,
-                                           depth_values[b], plan, KY=2,
-                                           KR=KR, interpret=interpret)
-                return jnp.transpose(out, (0, 1, 3, 2))   # [D, H, W, C]
+            def kern_px(plan, ky, kr, nt, b=b, P=P, Q=Q):
+                def fn():
+                    out = mosaic_sweep_warp_px(
+                        src_fea[b], P, Q, depth_values[b], plan, KY=ky,
+                        KR=kr, NT=nt, interpret=interpret)
+                    return jnp.transpose(out, (0, 1, 3, 2))  # [D,H,W,C]
+                return fn
 
-            outs.append(jax.lax.cond(ok, kern_px, gather))
+            if KRw < KYb:
+                outs.append(jax.lax.cond(okA, kern_px(planA, 2, KRa, 2),
+                                         gather))
+            else:
+                outs.append(jax.lax.cond(
+                    okA, kern_px(planA, 2, KRa, 2),
+                    lambda okB=okB, pB=planB: jax.lax.cond(
+                        okB, kern_px(pB, KYb, KRw, NTb), gather)))
             continue
 
         rxyz, trans = rot_planes(src_proj[b], ref_proj[b], ref_hw)
@@ -1226,7 +1308,9 @@ def _warp_mosaic_impl(src_fea, src_proj, ref_proj, depth_values, ref_hw,
 
         outs.append(jax.lax.cond(
             span <= 1, kern(2),
-            lambda: jax.lax.cond(span <= 3, kern(4), gather)))
+            lambda: jax.lax.cond(
+                span <= 3, kern(4),
+                lambda: jax.lax.cond(span <= 7, kern(8), gather))))
     return jnp.stack(outs, axis=0)
 
 
@@ -1317,18 +1401,24 @@ def homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
             svals = svals[:, 0, 0]                          # [D]
         else:
             svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
-        plan = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
         Ht = h + 2
-        KRb = min(KR, Ht)
-        ok = ((plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
-              & ((plan["wspan"] <= KRb - KY) if KRb < Ht else True))
+        planA = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
+        planB = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy,
+                               nt=TIER_B["NT"])
+        KRa = min(KR, Ht)
+        KYb, NTb = TIER_B["KY"], TIER_B["NT"]
+        KRw = tier_b_kr((h, w), C)
+        okA = _plan_fit(planA, KY, KRa, 2, Ht)
+        okB = _plan_fit(planB, KYb, KRw, NTb, Ht)
 
-        def kern(bb=bb, P=P, Q=Q, svals=svals, plan=plan, KRb=KRb,
+        def kern(plan, ky, kr, nt, bb=bb, P=P, Q=Q, svals=svals,
                  sx=sx, sy=sy):
-            out = mosaic_sweep_warp_px(src[bb], P, Q, svals, plan, KY=KY,
-                                       KR=KRb, sx=sx, sy=sy,
-                                       interpret=interpret)
-            return jnp.transpose(out, (0, 1, 3, 2)).astype(dtype)
+            def fn():
+                out = mosaic_sweep_warp_px(src[bb], P, Q, svals, plan,
+                                           KY=ky, KR=kr, NT=nt, sx=sx,
+                                           sy=sy, interpret=interpret)
+                return jnp.transpose(out, (0, 1, 3, 2)).astype(dtype)
+            return fn
 
         def fallback(bb=bb):
             return homography_sweep_warp(
@@ -1337,7 +1427,14 @@ def homography_volume_mosaic(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
                 t_src[bb:bb + 1], depth_num, depth_start[bb:bb + 1],
                 depth_interval[bb:bb + 1], ref_hw)[0]
 
-        outs.append(jax.lax.cond(ok, kern, fallback))
+        if KRw < KYb:
+            outs.append(jax.lax.cond(okA, kern(planA, KY, KRa, 2),
+                                     fallback))
+        else:
+            outs.append(jax.lax.cond(
+                okA, kern(planA, KY, KRa, 2),
+                lambda okB=okB, pB=planB: jax.lax.cond(
+                    okB, kern(pB, KYb, KRw, NTb), fallback)))
     return jnp.stack(outs, axis=0)
 
 
@@ -1376,20 +1473,25 @@ def homography_gwc_volume_mosaic(src, ref_feat, K_ref, R_ref, t_ref,
             svals = svals[:, 0, 0]
         else:
             svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
-        plan = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
         Ht = h + 2
-        KRb = min(KR, Ht)
-        ok = ((plan["yspan"] <= KY - 1) & (plan["xover"] <= 0)
-              & ((plan["wspan"] <= KRb - KY) if KRb < Ht else True))
+        planA = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
+        planB = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy,
+                               nt=TIER_B["NT"])
+        KRa = min(KR, Ht)
+        KYb, NTb = TIER_B["KY"], TIER_B["NT"]
+        KRw = tier_b_kr((h, w), C)
+        okA = _plan_fit(planA, KY, KRa, 2, Ht)
+        okB = _plan_fit(planB, KYb, KRw, NTb, Ht)
         ref_chw = jnp.transpose(ref_feat[bb], (0, 2, 1))   # [H, C, W]
 
-        def kern(bb=bb, P=P, Q=Q, svals=svals, plan=plan, KRb=KRb,
+        def kern(plan, ky, kr, nt, bb=bb, P=P, Q=Q, svals=svals,
                  sx=sx, sy=sy, ref_chw=ref_chw):
-            out = mosaic_sweep_warp_px_gwc(src[bb], ref_chw, P, Q, svals,
-                                           plan, groups=groups, KY=KY,
-                                           KR=KRb, sx=sx, sy=sy,
-                                           interpret=interpret)
-            return jnp.transpose(out, (0, 1, 3, 2)).astype(src.dtype)
+            def fn():
+                out = mosaic_sweep_warp_px_gwc(
+                    src[bb], ref_chw, P, Q, svals, plan, groups=groups,
+                    KY=ky, KR=kr, NT=nt, sx=sx, sy=sy, interpret=interpret)
+                return jnp.transpose(out, (0, 1, 3, 2)).astype(src.dtype)
+            return fn
 
         def fallback(bb=bb):
             warped = homography_sweep_warp(
@@ -1401,7 +1503,14 @@ def homography_gwc_volume_mosaic(src, ref_feat, K_ref, R_ref, t_ref,
                 jnp.broadcast_to(ref_feat[bb][None], warped.shape), warped,
                 groups).astype(src.dtype)
 
-        outs.append(jax.lax.cond(ok, kern, fallback))
+        if KRw < KYb:
+            outs.append(jax.lax.cond(okA, kern(planA, KY, KRa, 2),
+                                     fallback))
+        else:
+            outs.append(jax.lax.cond(
+                okA, kern(planA, KY, KRa, 2),
+                lambda okB=okB, pB=planB: jax.lax.cond(
+                    okB, kern(pB, KYb, KRw, NTb), fallback)))
     return jnp.stack(outs, axis=0)
 
 
@@ -1612,6 +1721,8 @@ def _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
     branch = jax.lax.cond(
         span_all <= 1,
         kernel_branch(2),
-        lambda: jax.lax.cond(span_all <= 3, kernel_branch(4),
-                             gather_branch))
+        lambda: jax.lax.cond(
+            span_all <= 3, kernel_branch(4),
+            lambda: jax.lax.cond(span_all <= 7, kernel_branch(8),
+                                 gather_branch)))
     return branch

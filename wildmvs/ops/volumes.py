@@ -14,6 +14,56 @@ import jax
 import jax.numpy as jnp
 
 
+def depth_chunked_volume(cv_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                         depths: jnp.ndarray, dc: int) -> jnp.ndarray:
+    """Build a [.., D, H, W, C] volume in depth slabs via lax.map.
+
+    Every aggregation here is independent across depth planes, so the
+    gather-path cost volume can be computed dc planes at a time — bounding
+    the peak [D, H, W, 4C] gather intermediates that blow up at the
+    full-res DTU eval sizes (296x400 features x D192 ~= 5.8 GB per view
+    unchunked).
+
+    Args:
+      cv_fn: depths_slice [.., dc] -> [.., dc, H, W, C] volume chunk.
+      depths: [.., D] hypothesis depths, D % dc == 0 (falls back to one
+        unchunked call otherwise).
+      dc: planes per chunk.
+    Returns:
+      cv_fn's output for the full depth axis, concatenated along it.
+    """
+    d = depths.shape[-1]
+    if dc >= d or d % dc != 0:
+        return cv_fn(depths)
+    nc = d // dc
+    # chunk axis to the front for lax.map: [..., D] -> [NC, ..., dc]
+    xs = jnp.moveaxis(depths.reshape(depths.shape[:-1] + (nc, dc)), -2, 0)
+    out = jax.lax.map(cv_fn, xs)          # [NC, .., dc, H, W, C]
+    nd = out.ndim
+    # [NC, .., dc, ...] -> [.., NC*dc, ...]: move NC next to the dc axis
+    out = jnp.moveaxis(out, 0, nd - 5)
+    shp = out.shape
+    return out.reshape(shp[:nd - 5] + (nc * dc,) + shp[nd - 3:])
+
+
+def gather_chunk_planes(num_depth: int, hw: tuple[int, int], c: int,
+                        limit: int = 768 * 2 ** 20) -> int:
+    """Depth-chunk size that keeps one view's [dc, H, W, 4C] bf16 gather
+    intermediate under `limit` bytes (the unchunked eval-res compile blew
+    the backend, 2026-08-20 session log). Returns num_depth when the full
+    volume already fits."""
+    h, w = hw
+    per_plane = h * w * 4 * c * 2
+    cap = max(1, limit // per_plane)
+    if cap >= num_depth:
+        return num_depth
+    dc = 1
+    for cand in range(2, num_depth + 1):
+        if num_depth % cand == 0 and cand <= cap:
+            dc = cand
+    return dc
+
+
 def variance_cost_volume(ref_feature: jnp.ndarray,
                          warped_iter: Sequence[jnp.ndarray] | None = None,
                          *, warp_fns: Sequence[Callable[[], jnp.ndarray]] | None = None,

@@ -21,10 +21,13 @@ import numpy as np
 
 
 def eval_model_kwargs(architecture: str, bf16: bool = True) -> dict:
-    """Eval-time model construction overrides + input downscale.
-    Parity: evaluation/pipeline_utils.py:131-154 (load_network). Inference
-    defaults to bf16 compute (f32 checkpoints restore unchanged; flax casts
-    at apply time)."""
+    """Eval-time model construction overrides + OUTPUT depthmap scale.
+    Parity: evaluation/pipeline_utils.py:131-154 (load_network). The
+    returned `downscale` is the depth/image resolution ratio the later
+    stages consume (filtering.py:51-58 upsample, fusibile.py:122 cam
+    scaling) — the network itself always gets the full-res /32-cropped
+    images (run_depthmaps.py:55-58). Inference defaults to bf16 compute
+    (f32 checkpoints restore unchanged; flax casts at apply time)."""
     import jax.numpy as jnp
     dtype = {"dtype": jnp.bfloat16} if bf16 else {}
     if architecture == "cvp_mvsnet":
