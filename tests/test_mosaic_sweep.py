@@ -544,6 +544,16 @@ def test_cost_volume_mosaic_big_table_streams(monkeypatch):
     assert np.abs(np.asarray(cv, np.float32)
                   - np.asarray(want, np.float32)).max() < 0.15
 
+    # softmin big-table: fused + per-view streamed softmin fallback
+    from wildmvs.ops.volumes import softmin_cost_volume
+    temp = jnp.ones((1,), jnp.float32)
+    cvs = ms.cost_volume_mosaic(feats, proj, [1, 2], 0, depths, (H, W),
+                                "softmin", D, temp=temp)
+    want_s = softmin_cost_volume(feats[:, 0], warp_fns=fns,
+                                 temperature=temp)
+    assert np.abs(np.asarray(cvs, np.float32)
+                  - np.asarray(want_s, np.float32)).max() < 0.15
+
     # ineligible fused + big table must raise, not compile the resident v1
     monkeypatch.setattr(ms, "fused_supported", lambda *a, **k: False)
     with pytest.raises(ValueError, match="corner table"):

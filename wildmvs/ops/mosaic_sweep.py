@@ -1126,15 +1126,26 @@ def _plan_fit(plan, KY, KR, NT, Ht):
 def _variance_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
                          KY: int = 2, KR: int = 48,
                          interpret: bool = False) -> jnp.ndarray:
-    """Per-view streamed-kernel variance for batch element bb: each source
-    view warps through mosaic_sweep_warp_px (whole per-view window budget)
-    and XLA accumulates Sum/Sum^2. Two kernel tiers behind nested conds —
-    (KY, NT=2) then the wide TIER_B window for realistic eval geometry —
-    then the exact gather. At sizes where the fused kernel's NV-view
-    window budget collapses (e.g. CVP full-res refinements) this per-view
-    path still beats the gather ~3.5-5x."""
+    return _agg_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
+                           agg="variance", KY=KY, KR=KR,
+                           interpret=interpret)
+
+
+def _agg_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
+                    agg: str = "variance", temp=None,
+                    KY: int = 2, KR: int = 48,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Per-view streamed-kernel aggregation for batch element bb: each
+    source view warps through mosaic_sweep_warp_px (whole per-view window
+    budget) and XLA accumulates the statistics — variance Sum/Sum^2
+    (model.py:113-139) or softmin Sum e / Sum e*diff (model.py:141-173) in
+    the kernel's [D, H, C, W] layout. Two kernel tiers behind nested conds
+    — (KY, NT=2) then the wide TIER_B window for realistic eval geometry —
+    then the (depth-chunked) exact gather. At sizes where the fused
+    kernel's NV-view window budget collapses (e.g. CVP full-res
+    refinements) this per-view path still beats the gather ~3.5-5x."""
     from .plane_sweep import plane_sweep_warp
-    from .volumes import variance_cost_volume
+    from .volumes import softmin_cost_volume, variance_cost_volume
 
     n = len(feats_l)
     h, w = feats_l[1].shape[1:3]
@@ -1165,18 +1176,32 @@ def _variance_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
                                   (0, 2, 1))[None].astype(jnp.float32)
             vol_sum = None
             vol_sq = None
+            sum_exp = None
+            sum_val = None
             for i, P, Q, planA, planB in planes:
                 plan, ky, kr, nt = ((planA, KY, KRa, 2) if tier == 0
                                     else (planB, KYb, KRb, NTb))
                 warped = mosaic_sweep_warp_px(
                     feats_l[i][bb], P, Q, db, plan, KY=ky, KR=kr, NT=nt,
                     interpret=interpret).astype(jnp.float32)  # [D,H,C,W]
-                sq = warped ** 2
-                vol_sum = warped if vol_sum is None else vol_sum + warped
-                vol_sq = sq if vol_sq is None else vol_sq + sq
-            vol_sum = vol_sum + ref_v
-            vol_sq = vol_sq + ref_v ** 2
-            cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
+                if agg == "variance":
+                    sq = warped ** 2
+                    vol_sum = (warped if vol_sum is None
+                               else vol_sum + warped)
+                    vol_sq = sq if vol_sq is None else vol_sq + sq
+                else:                                  # softmin
+                    diff = (ref_v - warped) ** 2
+                    e = jnp.exp(-temp * jnp.sum(diff, axis=2,
+                                                keepdims=True))
+                    sum_exp = e if sum_exp is None else sum_exp + e
+                    cont = e * diff
+                    sum_val = cont if sum_val is None else sum_val + cont
+            if agg == "variance":
+                vol_sum = vol_sum + ref_v
+                vol_sq = vol_sq + ref_v ** 2
+                cv = (vol_sq / n - (vol_sum / n) ** 2).astype(dtype)
+            else:
+                cv = (sum_val / (sum_exp + 1e-6)).astype(dtype)
             return jnp.transpose(cv, (0, 1, 3, 2))        # [D, H, W, C]
         return fn
 
@@ -1187,9 +1212,12 @@ def _variance_px_perview(feats_l, proj, ref_depths, ref_hw, bb,
             fns = [(lambda i=i: plane_sweep_warp(
                 feats_l[i][bb:bb + 1], proj[bb:bb + 1, i], rp[None],
                 db_s[None], ref_hw)) for i in range(1, n)]
-            return variance_cost_volume(feats_l[0][bb:bb + 1],
-                                        warp_fns=fns,
-                                        num_depth=db_s.shape[-1])[0]
+            if agg == "variance":
+                return variance_cost_volume(feats_l[0][bb:bb + 1],
+                                            warp_fns=fns,
+                                            num_depth=db_s.shape[-1])[0]
+            return softmin_cost_volume(feats_l[0][bb:bb + 1],
+                                       warp_fns=fns, temperature=temp)[0]
 
         if db.ndim != 1:
             return cv_slab(db)
@@ -1628,15 +1656,13 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
         order = [reference_frame] + list(src_idx)
         feats_l = [feats[:, i] for i in order]
         proj_ro = proj[:, jnp.array(order)]
-        if agg == "variance":
-            # big-table regime (e.g. full-res DTU eval, 296x400 features —
-            # the resident corner table would be ~39 MB): never compile the
-            # resident v1 branch; fall back to the per-view STREAMED kernel
-            def fallback(bb):
-                return _variance_px_perview(feats_l, proj_ro, ref_depths,
-                                            ref_hw, bb)
-        else:
-            fallback = None          # softmin big-table: exact gather
+        # big-table regime (e.g. full-res DTU eval, 296x400 features — the
+        # resident corner table would be ~39 MB): never compile the
+        # resident v1 branch; fall back to the per-view STREAMED kernel
+        # cascade (tier A -> TIER_B -> chunked gather) for both agg modes
+        def fallback(bb):
+            return _agg_px_perview(feats_l, proj_ro, ref_depths, ref_hw,
+                                   bb, agg=agg, temp=temp)
         return fused_cost_volume_px(feats_l, proj_ro, ref_depths, ref_hw,
                                     agg=agg, temp=temp, fallback=fallback)
     raise ValueError(
