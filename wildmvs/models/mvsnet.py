@@ -119,6 +119,10 @@ class MVSNet(nn.Module):
     # cross-slab collectives for the softmax/regression. Requires an
     # ambient mesh (jax.sharding.use_mesh) with that axis.
     hyp_axis: str | None = None
+    # eval-time BLOCK-depth-packed 3D UNet (CostRegNet packed_block): same
+    # params/math with depth folded into lanes so every level contracts
+    # >=128 channels on the MXU; toggle kept for A/B timing
+    packed_regnet: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -278,7 +282,8 @@ class MVSNet(nn.Module):
         # this single [B,D,H,W,C] volume
         cost_volume = jax.lax.optimization_barrier(cost_volume)
         regnet = CostRegNet(dtype=self.dtype, name="cost_regularization")
-        if not train and not hyp_active and self.num_depth % 16 == 0:
+        if (self.packed_regnet and not train and not hyp_active
+                and self.num_depth % 16 == 0):
             # eval: run the 3D UNet BLOCK-depth-packed (p=16 -> every level
             # contracts exactly 128 packed channels; see CostRegNet) — same
             # params/math, rearranged matmuls

@@ -295,7 +295,8 @@ def build_corner_table_tiled(src: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(t.reshape(ht, c2, wt, LANES), (2, 0, 1, 3))
 
 
-def _kernel_px(ybase_ref, xtb_ref, wb_ref,
+def _kernel_px(wb_ref,
+               plan_ref,                        # SMEM [1, RB*XC] i32 packed
                px_ref, py_ref, pz_ref,          # VMEM [RB, Wp] f32
                qx_ref, qy_ref, qz_ref,          # VMEM [RB, Wp] f32
                dmap_ref,                        # VMEM [1, RB, Wp] f32
@@ -304,8 +305,11 @@ def _kernel_px(ybase_ref, xtb_ref, wb_ref,
                win_ref, sem,                    # scratch: window + DMA sem
                ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
                *, C, H, W, PR, Ht, Wt, KY, KR, XC, NT, sx, sy):
-    # H, W: SOURCE dims (validity bounds); PR: plan/ref-grid rows (the
-    # possibly RB-padded row count the scalar-prefetch plan is laid out in)
+    # H, W: SOURCE dims (validity bounds); PR: plan/ref-grid rows. The
+    # (ybase, xtb) plan arrives as a BLOCKED SMEM input — one 16/16-packed
+    # int32 per (row, x-chunk) of THIS grid step only. A whole-array
+    # scalar-prefetch plan is [D, PR, XC] and overflows the 1 MB SMEM at
+    # full-res DTU eval (192x296x4 ints = 888 KB per array).
     yy = pl.program_id(0)
     d_i = pl.program_id(1)
     C2 = C * 2
@@ -351,9 +355,9 @@ def _kernel_px(ybase_ref, xtb_ref, wb_ref,
             ls = pl.ds(xc * LANES, LANES)
             ix = ix_s[r, ls]
             iy = iy_s[r, ls]
-            pi = (d_i * PR + yy * RB + r) * XC + xc
-            ybase = ybase_ref[pi]
-            xtb = xtb_ref[pi]
+            packed = plan_ref[0, 0, r * XC + xc]
+            ybase = packed & 0xFFFF
+            xtb = packed >> 16
             iyl = jnp.clip(iy - ybase, 0, KY - 1)
             inwin = (iy - ybase) == iyl
             idx = jnp.broadcast_to(ix[None], (C2, LANES))
@@ -573,6 +577,12 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
     yb = jnp.clip(plan["ybase"], 0, Ht - KY)
     wb = jnp.clip(plan["wb"], 0, Ht - KR)
     xtb = jnp.clip(plan["xtb"], 0, Wt - NT)
+    hb = H // RB
+    # 16/16-packed (ybase, xtb), laid out [D*HB, 1, RB*XC] so each grid
+    # step streams only its own 128-B block into SMEM (see _kernel_px; the
+    # middle singleton keeps the block's last-two dims equal to the
+    # array's — the TPU lowering's block-shape rule)
+    packed = (yb | (xtb << 16)).reshape(D * hb, 1, RB * XC)
 
     kern = functools.partial(
         _kernel_px, C=C, H=h, W=w, PR=H, Ht=Ht, Wt=Wt, KY=KY, KR=KR, XC=XC,
@@ -580,9 +590,12 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
 
     row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(H // RB, D),
         in_specs=[
+            pl.BlockSpec((1, 1, RB * XC),
+                         lambda yy, di, *pf: (di * hb + yy, 0, 0),
+                         memory_space=pltpu.SMEM),
             row_spec, row_spec, row_spec,       # P planes
             row_spec, row_spec, row_spec,       # Q planes
             pl.BlockSpec((1, RB, Wp), lambda yy, di, *pf: (di, yy, 0)),
@@ -606,12 +619,13 @@ def mosaic_sweep_warp_px(src: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, C, Wp), jnp.bfloat16),
         interpret=interpret,
-    )(yb.reshape(-1), xtb.reshape(-1), wb,
+    )(wb, packed,
       rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, table)
     return out[:, :H0, :, :W]
 
 
-def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
+def _kernel_px_gwc(wb_ref,
+                   plan_ref,                    # SMEM [1, RB*XC] i32 packed
                    px_ref, py_ref, pz_ref,
                    qx_ref, qy_ref, qz_ref,
                    dmap_ref, ref_ref, table_ref, out_ref,
@@ -660,9 +674,9 @@ def _kernel_px_gwc(ybase_ref, xtb_ref, wb_ref,
             ls = pl.ds(xc * LANES, LANES)
             ix = ix_s[r, ls]
             iy = iy_s[r, ls]
-            pi = (d_i * PR + yy * RB + r) * XC + xc
-            ybase = ybase_ref[pi]
-            xtb = xtb_ref[pi]
+            packed = plan_ref[0, 0, r * XC + xc]
+            ybase = packed & 0xFFFF
+            xtb = packed >> 16
             iyl = jnp.clip(iy - ybase, 0, KY - 1)
             inwin = (iy - ybase) == iyl
             idx = jnp.broadcast_to(ix[None], (C2, LANES))
@@ -733,6 +747,8 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
     yb = jnp.clip(plan["ybase"], 0, Ht - KY)
     wb = jnp.clip(plan["wb"], 0, Ht - KR)
     xtb = jnp.clip(plan["xtb"], 0, Wt - NT)
+    hb = H // RB
+    packed = (yb | (xtb << 16)).reshape(D * hb, 1, RB * XC)  # see _kernel_px
 
     kern = functools.partial(
         _kernel_px_gwc, C=C, G=G, H=h, W=w, PR=H, Ht=Ht, Wt=Wt, KY=KY,
@@ -740,9 +756,12 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
 
     row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(H // RB, D),
         in_specs=[
+            pl.BlockSpec((1, 1, RB * XC),
+                         lambda yy, di, *pf: (di * hb + yy, 0, 0),
+                         memory_space=pltpu.SMEM),
             row_spec, row_spec, row_spec,       # P planes
             row_spec, row_spec, row_spec,       # Q planes
             pl.BlockSpec((1, RB, Wp), lambda yy, di, *pf: (di, yy, 0)),
@@ -767,7 +786,7 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((D, H, G, Wp), jnp.bfloat16),
         interpret=interpret,
-    )(yb.reshape(-1), xtb.reshape(-1), wb,
+    )(wb, packed,
       rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, refp, table)
     return out[:, :H0, :, :W]
 
@@ -789,7 +808,8 @@ def mosaic_sweep_warp_px_gwc(src, ref_chw, P, Q, svals, plan,
 # ---------------------------------------------------------------------------
 
 
-def _kernel_fused(plan_ref, wb_ref, temp_ref,
+def _kernel_fused(wb_ref, temp_ref,
+                  plan_ref,            # SMEM [1, NV*RB*XC] i32 packed
                   px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref,
                   dmap_ref, ref_ref, table_ref, out_ref,
                   win_ref, sem, ix_s, iy_s, w00_s, w01_s, w10_s, w11_s,
@@ -855,10 +875,11 @@ def _kernel_fused(plan_ref, wb_ref, temp_ref,
             for v in range(NV):
                 ix = ix_s[v, r, ls]
                 iy = iy_s[v, r, ls]
-                pi = ((v * D + d_idx) * ROWS + yy * RB + r) * XC + xc
-                # (ybase, xtb) packed 16/16 into one int32 — halves the
-                # scalar-prefetch footprint (SMEM) vs two arrays
-                packed = plan_ref[pi]
+                # (ybase, xtb) packed 16/16 into one int32, BLOCKED SMEM
+                # input — only this grid step's (plane, row-block) slice
+                # is resident (a whole-array prefetch plan is NV*D*ROWS*XC
+                # ints = 3.5 MB at full-res DTU eval vs the 1 MB SMEM)
+                packed = plan_ref[0, 0, (v * RB + r) * XC + xc]
                 ybase = packed & 0xFFFF
                 xtb = packed >> 16
                 wb = wb_ref[(v * DO + do) * HB + yy]
@@ -1011,7 +1032,12 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
             NT = min(2, Wt)
             yb = jnp.stack([jnp.clip(p["ybase"], 0, Ht - KY) for p in plans])
             xtb = jnp.stack([jnp.clip(p["xtb"], 0, Wt - NT) for p in plans])
-            packed = yb | (xtb << 16)       # 16/16-packed (ybase, xtb)
+            # 16/16-packed (ybase, xtb), [NV, D, ROWS, XC] -> blocked-SMEM
+            # layout [(d, row-block), (view, row, x-chunk)] so each grid
+            # step streams only its own NV*RB*XC ints (see _kernel_fused)
+            packed = (yb | (xtb << 16)).reshape(
+                NV, D, HBn, RB, XC).transpose(1, 2, 0, 3, 4).reshape(
+                D * HBn, 1, NV * RB * XC)
             wb = jnp.stack([jnp.clip(p["wb"], 0, Ht - KR) for p in plans])
 
             def pad3(x, cval):
@@ -1046,9 +1072,14 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
             vrow = pl.BlockSpec((NV, RB, Wp),
                                 lambda do, yy, dp, *pf: (0, yy, 0))
             grid_spec = pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
+                num_scalar_prefetch=2,
                 grid=(D // DC, HBn, DC),
                 in_specs=[
+                    pl.BlockSpec(
+                        (1, 1, NV * RB * XC),
+                        lambda do, yy, dp, *pf: (
+                            (do * DC + dp) * HBn + yy, 0, 0),
+                        memory_space=pltpu.SMEM),
                     vrow, vrow, vrow, vrow, vrow, vrow,
                     pl.BlockSpec(
                         (1, RB, Wp),
@@ -1076,7 +1107,7 @@ def fused_cost_volume_px(feats_l, proj, ref_depths, ref_hw,
                 grid_spec=grid_spec,
                 out_shape=jax.ShapeDtypeStruct((D, ROWS, C, Wp), dtype),
                 interpret=interpret,
-            )(packed.reshape(-1), wb.reshape(-1), tempv,
+            )(wb.reshape(-1), tempv, packed,
               px, py, pz, qx, qy, qz, dmap, ref_chw, table)
             return jnp.transpose(cv[:, :H, :, :W],
                                  (0, 1, 3, 2))               # [D, H, W, C]
