@@ -1137,10 +1137,27 @@ TIER_B = dict(KY=8, NT=3)   # wide streamed window: realistic DTU eval
 # beating the XLA gather's per-index floor
 
 
+def _scoped_vmem_budget() -> int:
+    """Per-kernel scratch budget (bytes) for the streamed windows.
+
+    XLA enforces a SCOPED (per-kernel stack) VMEM limit — default 16 MiB
+    (--xla_tpu_scoped_vmem_limit_kib) — far below the chip's 128 MiB
+    VMEM; a window scratch above it is a compile-time OOM (the full-res
+    DTU eval failure mode: 19.7-22 MB tier-B windows). Budget = limit
+    minus ~2.5 MB for the pipeline's in/out blocks. Set
+    WILDMVS_SCOPED_VMEM_KIB to match a raised XLA flag."""
+    import os
+    kib = int(os.environ.get("WILDMVS_SCOPED_VMEM_KIB", "16384"))
+    return kib * 1024 - int(2.5 * 2 ** 20)
+
+
 def tier_b_kr(src_hw: tuple[int, int], c: int,
-              budget: int = 24 * 2 ** 20, cap: int = 96) -> int:
-    """Tier-B row-window height: as tall as the VMEM budget allows (the
-    realistic-geometry wspan reaches ~76 rows per view at eval res)."""
+              budget: int | None = None, cap: int = 96) -> int:
+    """Tier-B row-window height: as tall as the scoped-VMEM budget allows
+    (the realistic-geometry wspan reaches ~76 rows per view at eval
+    res)."""
+    if budget is None:
+        budget = min(24 * 2 ** 20, _scoped_vmem_budget())
     h, w = src_hw
     wt = (w + 2 + LANES - 1) // LANES
     row = wt * 2 * c * LANES * 4
