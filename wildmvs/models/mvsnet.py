@@ -121,8 +121,12 @@ class MVSNet(nn.Module):
     hyp_axis: str | None = None
     # eval-time BLOCK-depth-packed 3D UNet (CostRegNet packed_block): same
     # params/math with depth folded into lanes so every level contracts
-    # >=128 channels on the MXU; toggle kept for A/B timing
-    packed_regnet: bool = True
+    # >=128 channels on the MXU. None = auto by feature-grid size:
+    # measured on v5e the packed path WINS 2.1x at full-res DTU eval
+    # (296x400 grid: reg 49.5 vs 102.9 ms) but LOSES ~4% at the 512x640
+    # training config (128x160 grid: its volume transposes outweigh the
+    # matmul win) — see BASELINE.md round 3
+    packed_regnet: bool | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -282,7 +286,10 @@ class MVSNet(nn.Module):
         # this single [B,D,H,W,C] volume
         cost_volume = jax.lax.optimization_barrier(cost_volume)
         regnet = CostRegNet(dtype=self.dtype, name="cost_regularization")
-        if (self.packed_regnet and not train and not hyp_active
+        packed = self.packed_regnet
+        if packed is None:
+            packed = fh * fw >= 65536      # auto: wins above ~256x256 grids
+        if (packed and not train and not hyp_active
                 and self.num_depth % 16 == 0):
             # eval: run the 3D UNet BLOCK-depth-packed (p=16 -> every level
             # contracts exactly 128 packed channels; see CostRegNet) — same
