@@ -24,10 +24,13 @@ def main():
     from wildmvs.models import build_model
     from bench import scene_dtu, time_model
 
+    import os
+    method = os.environ.get("WILDMVS_BENCH_METHOD", "auto")
     args = scene_dtu(1, 5, 1184, 1600, 2892.0)
     kwargs = {}
     if arch == "mvsnet":
-        model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16)
+        model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
+                            sweep_method=method)
     elif arch == "vis":
         model = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
                             interval_scales=(2.0, 1.0, 0.5),

@@ -230,7 +230,19 @@ class MVSNet(nn.Module):
                                            temperature=temp)
             raise NotImplementedError(f"aggregation: {self.aggregation}")
 
-        if method == "mosaic" and not train:
+        if (method == "rect" and not train and not ragged
+                and not hyp_active):
+            # rectified (H_inf-factored) sweep: each source is resampled
+            # once by its infinite homography, the residual epipole sweep
+            # runs in the KY=2 cheap-window kernel regime for ANY rig
+            # geometry (ops/rect_sweep.py; exact-gather runtime fallback)
+            from ..ops.rect_sweep import rect_cost_volume
+            order = [reference_frame] + src_idx
+            cost_volume = rect_cost_volume(
+                [feats_l[i] for i in order],
+                proj[:, jnp.array(order)], ref_depths, (fh, fw),
+                agg=agg, temp=temp)
+        elif method == "mosaic" and not train:
             # Mosaic lane-gather sweep, ONE span-cond around the whole
             # aggregation per batch element (KY=2 -> KY=4 -> exact gather)
             from ..ops.mosaic_sweep import cost_volume_mosaic
