@@ -1,0 +1,36 @@
+"""A/B the rectified (H_inf-factored) sweep vs the direct Mosaic dispatch
+at the full-res DTU eval protocol config (1184x1600 N5, DTU-like rig).
+
+Usage: timeout 1800 python tools/probe_rect.py [methods...]
+  default methods: rect auto
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    methods = sys.argv[1:] or ["rect", "auto"]
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    sys.path.insert(0, "/root/repo")
+    from bench import scene_dtu, time_model
+    from wildmvs.models import build_model
+
+    args = scene_dtu(1, 5, 1184, 1600, 2892.0)
+    for m in methods:
+        model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
+                            sweep_method=m)
+        t0 = time.perf_counter()
+        dt = time_model(model, args, {}, iters=4)
+        print(f"{m:8s}: {dt*1e3:7.1f} ms/map  ({1.0/dt:.3f} maps/s)  "
+              f"[wall incl compile {time.perf_counter()-t0:.0f}s]",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,10 @@ class SingleStage(nn.Module):
     mode: str = "soft"
     view_axis: str | None = None
     hyp_axis: str | None = None
+    # "auto" (direct Mosaic kernel when supported) | "rect" (H_inf-factored
+    # sweep, ops/rect_sweep.rect_gwc_volume — cheap KY=2 windows under any
+    # rig geometry, once-resampled-source approximation) | "gather"
+    sweep_method: str = "auto"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -228,11 +232,32 @@ class SingleStage(nn.Module):
                     srcs, P(self.view_axis))
 
             from ..ops.mosaic_sweep import vis_mosaic_supported
-            use_mosaic = (vis_mosaic_supported((h, w),
-                                               srcs_feat[0].shape[1:3],
-                                               ref_feat.dtype)
-                          and not _active_axis(self.view_axis))
-            if use_mosaic:
+            kernel_ok = (vis_mosaic_supported((h, w),
+                                              srcs_feat[0].shape[1:3],
+                                              ref_feat.dtype)
+                         and not _active_axis(self.view_axis))
+            use_rect = kernel_ok and self.sweep_method == "rect"
+            use_mosaic = kernel_ok and self.sweep_method == "auto"
+            if use_rect:
+                # rectified sweep: one A-resample per pair, then the fused
+                # warp+gwc kernel in the KY=2 cheap-window regime (exact
+                # homography-gather runtime fallback inside)
+                from ..ops.rect_sweep import rect_gwc_volume
+                cost_s = jnp.stack([
+                    rect_gwc_volume(
+                        srcs_feat[i], ref_feat, K[:, 0], R[:, 0], t[:, 0],
+                        K[:, i + 1], R[:, i + 1], t[:, i + 1],
+                        depth_num, depth_start, depth_interval, (h, w),
+                        groups=8)
+                    for i in range(n_src)], 0)     # [S, B, D, h, w, 8]
+                vtail = nn.vmap(
+                    SingleStage._pair_tail_cost,
+                    in_axes=(0, None, None, None), out_axes=0,
+                    variable_axes={"params": None, "batch_stats": None},
+                    split_rngs={"params": False})
+                interm_s, est_s, unc_s = vtail(
+                    self, cost_s, depth_start, depth_interval, train)
+            elif use_mosaic:
                 # Mosaic streamed warp + group-wise correlation fused in
                 # ONE kernel per pair (the [D, h, w, C] warped volume never
                 # touches HBM — only the C/8-smaller correlation volume),
@@ -356,6 +381,7 @@ class VisMVSNet(nn.Module):
     # cost-volume depth slabs over `hyp_axis` (see SingleStage)
     view_axis: str | None = None
     hyp_axis: str | None = None
+    sweep_method: str = "auto"   # see SingleStage.sweep_method
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -403,6 +429,7 @@ class VisMVSNet(nn.Module):
         ref1, srcs1 = stage_feats(0)
         est1, prob1, pairs1 = SingleStage(mode=self.mode, view_axis=self.view_axis,
                                           hyp_axis=self.hyp_axis,
+                                          sweep_method=self.sweep_method,
                                           dtype=self.dtype, name="stage1")(
             ref1, srcs1, cams, depth_nums[0], d_start0,
             d_interval * interval_scales[0], 8, train)
@@ -417,6 +444,7 @@ class VisMVSNet(nn.Module):
                     * self.interval_scales[1] / 2.0)[:, None]  # [B,1,H,W]
         est2, prob2, pairs2 = SingleStage(mode=self.mode, view_axis=self.view_axis,
                                           hyp_axis=self.hyp_axis,
+                                          sweep_method=self.sweep_method,
                                           dtype=self.dtype, name="stage2")(
             ref2, srcs2, cams, depth_nums[1], d_start2,
             d_interval * interval_scales[1], 4, train)
@@ -430,6 +458,7 @@ class VisMVSNet(nn.Module):
                     * self.interval_scales[2] / 2.0)[:, None]
         est3, prob3, pairs3 = SingleStage(mode=self.mode, view_axis=self.view_axis,
                                           hyp_axis=self.hyp_axis,
+                                          sweep_method=self.sweep_method,
                                           dtype=self.dtype, name="stage3")(
             ref3, srcs3, cams, depth_nums[2], d_start3,
             d_interval * interval_scales[2], 2, train)

@@ -63,33 +63,62 @@ def rect_decompose(src_proj: jnp.ndarray, ref_proj: jnp.ndarray):
 
 
 def rect_margin(ref_hw: tuple[int, int]) -> int:
-    """Default canvas margin: covers typical DTU near-depth disparities
-    (~f*|t|/dmin = O(100 px) at 1/4 feature res) without letting the
-    expanded table dwarf the windows at small grids."""
+    """Default canvas margin.  With the per-view mid-sweep recentering
+    (rect_shift) the canvas only has to cover HALF the disparity SPREAD
+    |e|*(s_max - s_min) (~65 px at 12-deg DTU eval pairs, /4 feature res)
+    — not the full near-depth disparity — so 96 px is ample, and the
+    narrower canvas raises the streamed window's scoped-VMEM KR budget
+    (the full-parallax wspan ~73 rows must fit KR - KY)."""
     h, w = ref_hw
-    return int(min(128, max(32, (min(h, w) // 2) // 8 * 8)))
+    return int(min(96, max(32, (min(h, w) // 2) // 8 * 8)))
 
 
-def rect_planes(e: jnp.ndarray, ref_hw: tuple[int, int], margin: int):
+def rect_shift(e: jnp.ndarray, svals: jnp.ndarray,
+               ref_hw: tuple[int, int]):
+    """Integer per-view canvas recentering: the mid-sweep disparity of the
+    grid-center pixel, round()ed so a pure-translation rig (A == I) still
+    resamples on the integer grid (bit-exactness preserved).
+
+    delta(s) = u(s) - x_c = (e_xy - x_c e_z) s / (1 + e_z s); the shift is
+    the midpoint of delta at the sweep's s extremes."""
+    rh, rw = ref_hw
+    xc = jnp.array([(rw - 1) / 2.0, (rh - 1) / 2.0], jnp.float32)
+    s_lo = jnp.min(svals).astype(jnp.float32)
+    s_hi = jnp.max(svals).astype(jnp.float32)
+
+    def delta(s):
+        den = 1.0 + e[2] * s
+        den = jnp.where(jnp.abs(den) > 1e-6, den, 1.0)
+        return (e[:2] - xc * e[2]) * s / den
+
+    return jnp.round((delta(s_lo) + delta(s_hi)) / 2.0)
+
+
+def rect_planes(e: jnp.ndarray, ref_hw: tuple[int, int], margin: int,
+                shift=None, offset: float = 0.0):
     """(P, Q) [3, H, W] planes of the residual sweep in CANVAS coords:
-    u' = ((x~ + M) + (e_xy + M e_z) s) / (1 + e_z s)."""
+    U = ((x~ - shift + M) + (e_xy - (shift - M) e_z) s) / (1 + e_z s).
+    offset: ref pixel-center offset (0.0 MVSNet grid, 0.5 Vis)."""
     from ..geometry.projective import pixel_grid
     rh, rw = ref_hw
-    grid = pixel_grid(rh, rw, jnp.float32)
-    gx = grid[..., 0] + margin
-    gy = grid[..., 1] + margin
+    sx, sy = ((jnp.zeros(()), jnp.zeros(())) if shift is None
+              else (shift[0], shift[1]))
+    grid = pixel_grid(rh, rw, jnp.float32, offset=offset)
+    gx = grid[..., 0] - sx + margin
+    gy = grid[..., 1] - sy + margin
     ones = jnp.ones_like(gx)
-    P = jnp.stack([jnp.broadcast_to(e[0] + margin * e[2], gx.shape),
-                   jnp.broadcast_to(e[1] + margin * e[2], gx.shape),
+    P = jnp.stack([jnp.broadcast_to(e[0] - (sx - margin) * e[2], gx.shape),
+                   jnp.broadcast_to(e[1] - (sy - margin) * e[2], gx.shape),
                    jnp.broadcast_to(e[2], gx.shape)])
     Q = jnp.stack([gx, gy, ones])
     return P, Q
 
 
 def rect_resample(src: jnp.ndarray, A: jnp.ndarray, ref_hw: tuple[int, int],
-                  margin: int) -> jnp.ndarray:
+                  margin: int, shift=None) -> jnp.ndarray:
     """Source features resampled by the infinite homography onto the
-    margin-expanded ref-aligned canvas: out[v+M, u+M] = src(A (u, v, 1))
+    margin-expanded, shift-recentered ref-aligned canvas:
+    out[v+M, u+M] = src(A (u + shift_x, v + shift_y, 1))
     (bilinear, border-zero — grid_sample zeros match the sweep kernels'
     invalid-sample convention)."""
     from ..geometry.projective import pixel_grid
@@ -97,9 +126,10 @@ def rect_resample(src: jnp.ndarray, A: jnp.ndarray, ref_hw: tuple[int, int],
     h, w, _ = src.shape
     rh, rw = ref_hw
     hm, wm = rh + 2 * margin, rw + 2 * margin
+    sx, sy = ((0.0, 0.0) if shift is None else (shift[0], shift[1]))
     grid = pixel_grid(hm, wm, jnp.float32)
-    ux = grid[..., 0] - margin
-    uy = grid[..., 1] - margin
+    ux = grid[..., 0] - margin + sx
+    uy = grid[..., 1] - margin + sy
     A = A.astype(jnp.float32)
     z = A[2, 0] * ux + A[2, 1] * uy + A[2, 2]
     zs = jnp.where(z > 0, z, 1.0)
@@ -162,10 +192,11 @@ def _rect_agg_perview(feats_l, proj, ref_depths, ref_hw, bb,
     views, okA, okB = [], None, None
     for i in range(1, n):
         A, e = rect_decompose(proj[bb, i], rp)
-        P, Q = rect_planes(e, ref_hw, M)
+        shift = rect_shift(e, svals, ref_hw)
+        P, Q = rect_planes(e, ref_hw, M, shift)
         planA = sweep_spans_px(P, Q, svals, (Hm, Wm))
         planB = sweep_spans_px(P, Q, svals, (Hm, Wm), nt=TIER_B["NT"])
-        views.append((i, A, P, Q, planA, planB))
+        views.append((i, A, shift, P, Q, planA, planB))
         fitA = _plan_fit(planA, 2, KR, 2, Ht)
         fitB = _plan_fit(planB, 2, KR, TIER_B["NT"], Ht)
         okA = fitA if okA is None else okA & fitA
@@ -176,10 +207,11 @@ def _rect_agg_perview(feats_l, proj, ref_depths, ref_hw, bb,
             ref_v = jnp.transpose(feats_l[0][bb],
                                   (0, 2, 1))[None].astype(jnp.float32)
             vol_sum = vol_sq = sum_exp = sum_val = None
-            for i, A, P, Q, planA, planB in views:
+            for i, A, shift, P, Q, planA, planB in views:
                 plan, nt = ((planA, 2) if tier == 0
                             else (planB, TIER_B["NT"]))
-                src_rect = rect_resample(feats_l[i][bb], A, ref_hw, M)
+                src_rect = rect_resample(feats_l[i][bb], A, ref_hw, M,
+                                         shift)
                 warped = mosaic_sweep_warp_px(
                     src_rect, P, Q, svals, plan, KY=2, KR=KR, NT=nt,
                     interpret=interpret).astype(jnp.float32)  # [D,H,C,W]
@@ -228,3 +260,132 @@ def _rect_agg_perview(feats_l, proj, ref_depths, ref_hw, bb,
     return jax.lax.cond(
         okA, kernel_branch(0),
         lambda: jax.lax.cond(okB, kernel_branch(1), gather_branch))
+
+
+# ---------------------------------------------------------------------------
+# Vis-MVSNet arm: the homography convention factors identically.
+#
+# homography_sweep_warp (ops/plane_sweep.py:203, parity model_cas.py:176-187)
+# computes coords_hom = A p - (B p) s with s = 1/(d + 1e-9) and
+# B = K_s R_s (c_rel f^T) R_r^T K_r^-1.  Because f = ref fronto row and the
+# third row of K_r^-1 is (0, 0, 1), the per-pixel scalar f^T R_r^T K_r^-1 p
+# is 1 for every pixel, so B p == A e with the CONSTANT vector
+# e = K_r R_r c_rel:  coords_hom = A (p - e s).  Resampling the source once
+# by A leaves the same epipole-directed residual sweep as the MVSNet arm
+# (sign-folded e), with the Vis (size-1)/size sampling scale folded into
+# the canvas resample.
+# ---------------------------------------------------------------------------
+
+
+def vis_rect_decompose(K_ref, R_ref, t_ref, K_src, R_src, t_src):
+    """(A, e) for the Vis homography convention (single view, unbatched):
+    coords_hom = A (p + e s), s = 1/(d + 1e-9), with the sign already
+    folded so rect_planes/rect_shift (u = (p + e s)/(1 + e_z s)) apply."""
+    K_ref_inv = jnp.linalg.inv(K_ref)
+    R_ref_T = jnp.swapaxes(R_ref, -1, -2)
+    A = (K_src @ R_src @ R_ref_T @ K_ref_inv).astype(jnp.float32)
+    c_rel = (-jnp.swapaxes(R_src, -1, -2) @ t_src) - (-R_ref_T @ t_ref)
+    e = (K_ref @ R_ref @ c_rel)[:, 0].astype(jnp.float32)
+    return A, -e
+
+
+def vis_rect_resample(src: jnp.ndarray, A: jnp.ndarray,
+                      ref_hw: tuple[int, int], margin: int,
+                      shift=None) -> jnp.ndarray:
+    """Canvas resample for the Vis convention: canvas pixel U samples the
+    source at proj(A [U - M + shift, 1]) through the
+    homography_sweep_warp normalization chain (x / size * 2 - 1 into an
+    align_corners grid_sample — the net (size-1)/size pixel scale),
+    border-zero."""
+    from ..geometry.projective import pixel_grid
+    from .grid_sample import grid_sample_xy
+    h, w, _ = src.shape
+    rh, rw = ref_hw
+    hm, wm = rh + 2 * margin, rw + 2 * margin
+    sx, sy = ((0.0, 0.0) if shift is None else (shift[0], shift[1]))
+    grid = pixel_grid(hm, wm, jnp.float32)
+    ux = grid[..., 0] - margin + sx
+    uy = grid[..., 1] - margin + sy
+    A = A.astype(jnp.float32)
+    z = A[2, 0] * ux + A[2, 1] * uy + A[2, 2]
+    zs = jnp.where(z > 0, z, 1.0)
+    gx = jnp.where(z > 0, (A[0, 0] * ux + A[0, 1] * uy + A[0, 2]) / zs,
+                   -10.0)
+    gy = jnp.where(z > 0, (A[1, 0] * ux + A[1, 1] * uy + A[1, 2]) / zs,
+                   -10.0)
+    gxn = jnp.clip(gx / w * 2.0 - 1.0, -1.1, 1.1)
+    gyn = jnp.clip(gy / h * 2.0 - 1.0, -1.1, 1.1)
+    return grid_sample_xy(src, gxn, gyn, align_corners=True)
+
+
+def rect_gwc_volume(src, ref_feat, K_ref, R_ref, t_ref, K_src, R_src,
+                    t_src, depth_num: int, depth_start, depth_interval,
+                    ref_hw, groups: int = 8, margin: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Vis-MVSNet per-pair warp + group-wise correlation via the rectified
+    sweep (drop-in for mosaic_sweep.homography_gwc_volume_mosaic — same
+    args, same [B, D, H, W, groups] result, same exact-gather fallback).
+
+    The px kernel runs in the KY=2 cheap-window regime on the recentered
+    canvas; per-pixel depth_start maps (cascade stages 2-3) keep per-pixel
+    svals, so yspan is only zero for the uniform stage-1 slab — the span
+    cond still dispatches exactly."""
+    from .mosaic_sweep import mosaic_sweep_warp_px_gwc
+    from .plane_sweep import homography_sweep_warp
+    from .volumes import groupwise_correlation
+    b, h, w, C = src.shape
+    rh, rw = ref_hw
+    M = rect_margin(ref_hw) if margin is None else margin
+    Hm, Wm = rh + 2 * M, rw + 2 * M
+    Ht = Hm + 2
+    KRw = tier_b_kr((Hm, Wm), C)
+    steps = jnp.arange(depth_num, dtype=jnp.float32).reshape(depth_num,
+                                                             1, 1)
+    outs = []
+    for bb in range(b):
+        A, e = vis_rect_decompose(K_ref[bb], R_ref[bb], t_ref[bb],
+                                  K_src[bb], R_src[bb], t_src[bb])
+        start = depth_start[bb, 0].astype(jnp.float32)
+        interval = depth_interval[bb, 0, 0, 0].astype(jnp.float32)
+        depth = start[None] + interval * steps
+        svals = 1.0 / (depth + 1e-9)
+        if svals.shape[1] == 1:
+            svals = svals[:, 0, 0]
+        else:
+            svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
+        shift = rect_shift(e, svals, ref_hw)
+        P, Q = rect_planes(e, ref_hw, M, shift, offset=0.5)
+        planA = sweep_spans_px(P, Q, svals, (Hm, Wm))
+        planB = sweep_spans_px(P, Q, svals, (Hm, Wm), nt=TIER_B["NT"])
+        okA = _plan_fit(planA, 2, KRw, 2, Ht)
+        okB = _plan_fit(planB, 2, KRw, TIER_B["NT"], Ht)
+        ref_chw = jnp.transpose(ref_feat[bb], (0, 2, 1))   # [H, C, W]
+
+        def kern(plan, nt, bb=bb, A=A, shift=shift, P=P, Q=Q, svals=svals,
+                 ref_chw=ref_chw):
+            def fn():
+                src_rect = vis_rect_resample(src[bb], A, ref_hw, M, shift)
+                out = mosaic_sweep_warp_px_gwc(
+                    src_rect, ref_chw, P, Q, svals, plan, groups=groups,
+                    KY=2, KR=KRw, NT=nt, interpret=interpret)
+                return jnp.transpose(out, (0, 1, 3, 2)).astype(src.dtype)
+            return fn
+
+        def fallback(bb=bb):
+            warped = homography_sweep_warp(
+                src[bb:bb + 1], K_ref[bb:bb + 1], R_ref[bb:bb + 1],
+                t_ref[bb:bb + 1], K_src[bb:bb + 1], R_src[bb:bb + 1],
+                t_src[bb:bb + 1], depth_num, depth_start[bb:bb + 1],
+                depth_interval[bb:bb + 1], ref_hw)[0]
+            return groupwise_correlation(
+                jnp.broadcast_to(ref_feat[bb][None], warped.shape),
+                warped, groups).astype(src.dtype)
+
+        if KRw < 2:
+            outs.append(fallback())
+        else:
+            outs.append(jax.lax.cond(
+                okA, kern(planA, 2),
+                lambda okB=okB, pB=planB: jax.lax.cond(
+                    okB, kern(pB, TIER_B["NT"]), fallback)))
+    return jnp.stack(outs, axis=0)
