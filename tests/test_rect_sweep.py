@@ -254,3 +254,47 @@ def test_mvsnet_sweep_method_rect_forward(monkeypatch):
     # soft-argmin depths through a random net: the two sweeps agree to a
     # fraction of the hypothesis interval away from the borders
     assert np.abs(dr - dg)[:, 4:-4, 4:-4].mean() < 0.5 * interval
+
+
+def test_cvp_sweep_method_rect_forward(monkeypatch):
+    # model wiring: CVPMVSNet(sweep_method="rect") routes every pyramid
+    # level (uniform coarse sweep AND per-pixel refinement maps) through
+    # the rect path; depths must track the gather path's
+    import wildmvs.ops.mosaic_sweep as ms
+    import wildmvs.ops.rect_sweep as rsm
+    from wildmvs.models import build_model
+
+    monkeypatch.setattr(ms, "mosaic_px_supported", lambda *a, **k: True)
+    orig = rsm.mosaic_sweep_warp_px
+    monkeypatch.setattr(rsm, "mosaic_sweep_warp_px",
+                        lambda *a, **k: orig(*a, **{**k, "interpret": True}))
+
+    rng = np.random.default_rng(8)
+    b, n, h, w = 1, 3, 64, 96
+    imgs = jnp.asarray(rng.random((b, n, h, w, 3)), jnp.float32)
+    f = 120.0
+    K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    K = jnp.asarray(np.tile(K, (b, n, 1, 1)))
+    R = jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (b, n, 1, 1)))
+    t = np.zeros((b, n, 3, 1), np.float32)
+    for i in range(n):
+        t[:, i, 0, 0] = 2.0 * i
+    t = jnp.asarray(t)
+    dmin = jnp.full((b, n), 425.0)
+    dmax = jnp.full((b, n), 935.0)
+
+    model_r = build_model("cvp_mvsnet", dtype=jnp.bfloat16,
+                          sweep_method="rect")
+    model_g = build_model("cvp_mvsnet", dtype=jnp.bfloat16,
+                          sweep_method="gather")
+    variables = model_g.init(jax.random.PRNGKey(0), imgs, K, R, t,
+                             dmin, dmax, train=False, nscale=2)
+    out_r = model_r.apply(variables, imgs, K, R, t, dmin, dmax,
+                          train=False, nscale=2)
+    out_g = model_g.apply(variables, imgs, K, R, t, dmin, dmax,
+                          train=False, nscale=2)
+    dr = np.asarray(out_r["depth"], np.float32)
+    dg = np.asarray(out_g["depth"], np.float32)
+    interval = (935.0 - 425.0) / 96.0
+    assert np.isfinite(dr).all()
+    assert np.abs(dr - dg)[:, 4:-4, 4:-4].mean() < 2.0 * interval

@@ -21,6 +21,10 @@ def main():
     from bench import scene_dtu, time_model
     from wildmvs.models import build_model
 
+    if methods and methods[0] == "vis":
+        return vis(methods[1:] or ("rect",))
+    if methods and methods[0] == "cvp":
+        return cvp(methods[1:] or ("rect",))
     args = scene_dtu(1, 5, 1184, 1600, 2892.0)
     for m in methods:
         model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
@@ -29,6 +33,43 @@ def main():
         dt = time_model(model, args, {}, iters=4)
         print(f"{m:8s}: {dt*1e3:7.1f} ms/map  ({1.0/dt:.3f} maps/s)  "
               f"[wall incl compile {time.perf_counter()-t0:.0f}s]",
+              flush=True)
+
+
+
+
+def vis(methods=("rect", "auto")):
+    import jax.numpy as jnp
+    import time as _t
+    sys.path.insert(0, "/root/repo")
+    from bench import scene_dtu, time_model
+    from wildmvs.models import build_model
+    args = scene_dtu(1, 5, 1184, 1600, 2892.0)
+    for m in methods:
+        model = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
+                            interval_scales=(2.0, 1.0, 0.5),
+                            dtype=jnp.bfloat16, sweep_method=m)
+        t0 = _t.perf_counter()
+        dt = time_model(model, args, {}, iters=3)
+        print(f"vis {m:8s}: {dt*1e3:7.1f} ms/map  ({1.0/dt:.3f} maps/s)  "
+              f"[wall incl compile {_t.perf_counter()-t0:.0f}s]",
+              flush=True)
+
+
+def cvp(methods=("rect",)):
+    import jax.numpy as jnp
+    import time as _t
+    sys.path.insert(0, "/root/repo")
+    from bench import scene_dtu, time_model
+    from wildmvs.models import build_model
+    args = scene_dtu(1, 5, 1184, 1600, 2892.0)
+    for m in methods:
+        model = build_model("cvp_mvsnet", dtype=jnp.bfloat16,
+                            sweep_method=m)
+        t0 = _t.perf_counter()
+        dt = time_model(model, args, {"nscale": 5}, iters=3)
+        print(f"cvp {m:8s}: {dt*1e3:7.1f} ms/map  ({1.0/dt:.3f} maps/s)  "
+              f"[wall incl compile {_t.perf_counter()-t0:.0f}s]",
               flush=True)
 
 

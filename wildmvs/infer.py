@@ -32,7 +32,8 @@ class Predictor:
 
     def __init__(self, model_dir: str | Path | None = None,
                  architecture: str | None = None, bf16: bool = True,
-                 cvp_nscale: int | None = None):
+                 cvp_nscale: int | None = None,
+                 sweep_method: str = "auto"):
         from .models import build_model
         from .pipeline.depthmaps import eval_model_kwargs
         from .train.checkpoint import resolve_checkpoint
@@ -43,7 +44,8 @@ class Predictor:
         if architecture is None:
             raise ValueError("need model_dir or architecture")
         self.architecture = architecture
-        cfg = eval_model_kwargs(architecture, bf16=bf16)
+        cfg = eval_model_kwargs(architecture, bf16=bf16,
+                                sweep_method=sweep_method)
         self._model = build_model(architecture, **cfg["kwargs"])
         #: output resolution = input resolution / downscale
         self.downscale = cfg["downscale"]

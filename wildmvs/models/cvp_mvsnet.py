@@ -243,6 +243,10 @@ class CVPMVSNet(nn.Module):
     # eval). The refinement levels (8 per-pixel hypotheses) stay unsharded.
     # Requires an ambient mesh (jax.set_mesh) carrying the axis.
     hyp_axis: str | None = None
+    # "auto" (direct Mosaic kernel when supported) | "rect" (H_inf-factored
+    # sweep, ops/rect_sweep.rect_cost_volume — cheap KY=2 windows under any
+    # rig geometry, once-resampled-source approximation) | "gather"
+    sweep_method: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -329,7 +333,17 @@ class CVPMVSNet(nn.Module):
             if not train and not ragged and not sharded:
                 from ..ops.mosaic_sweep import (mosaic_px_supported,
                                                 variance_volume_mosaic_px)
-                if mosaic_px_supported((fh, fw), flevel[0].dtype):
+                if (self.sweep_method == "rect"
+                        and mosaic_px_supported((fh, fw),
+                                                flevel[0].dtype)):
+                    # rectified sweep for both the uniform coarse sweep and
+                    # the per-pixel refinement maps (exact-gather runtime
+                    # fallback inside)
+                    from ..ops.rect_sweep import rect_cost_volume
+                    return rect_cost_volume(flevel, proj, hyp, (fh, fw))
+                if (self.sweep_method == "auto"
+                        and mosaic_px_supported((fh, fw),
+                                                flevel[0].dtype)):
                     return variance_volume_mosaic_px(flevel, proj, hyp,
                                                      (fh, fw))
             warp = plane_sweep_warp

@@ -145,6 +145,9 @@ def main(argv=None):
                         "mp.spawn sharding, depthmap_eval.py:95-96)")
     p.add_argument("--process_count", type=int, default=1,
                    help="total hosts sharding the view list")
+    p.add_argument("--sweep_method", default="auto",
+                   choices=["auto", "rect", "gather"],
+                   help="cost-volume sweep backend (see ops/rect_sweep.py)")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     a = p.parse_args(argv)
@@ -173,7 +176,8 @@ def main(argv=None):
                         width=96, seed=7)
 
     model, variables, architecture, cvp_nscale = load_network(
-        a.model, a.architecture, dataset[0], a.dataset)
+        a.model, a.architecture, dataset[0], a.dataset,
+        sweep_method=a.sweep_method)
     res = evaluate(dataset, model, variables, cvp_nscale,
                    process_index=a.process_index,
                    process_count=a.process_count, debug=a.debug,

@@ -20,23 +20,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def eval_model_kwargs(architecture: str, bf16: bool = True) -> dict:
+def eval_model_kwargs(architecture: str, bf16: bool = True,
+                      sweep_method: str = "auto") -> dict:
     """Eval-time model construction overrides + OUTPUT depthmap scale.
     Parity: evaluation/pipeline_utils.py:131-154 (load_network). The
     returned `downscale` is the depth/image resolution ratio the later
     stages consume (filtering.py:51-58 upsample, fusibile.py:122 cam
     scaling) — the network itself always gets the full-res /32-cropped
     images (run_depthmaps.py:55-58). Inference defaults to bf16 compute
-    (f32 checkpoints restore unchanged; flax casts at apply time)."""
+    (f32 checkpoints restore unchanged; flax casts at apply time).
+
+    sweep_method: cost-volume sweep backend for all three families —
+    "auto" (direct Mosaic kernel when supported, exact), "rect" (the
+    H_inf-factored sweep, ops/rect_sweep.py: ~2.5x faster at the full-res
+    DTU protocol under realistic rig geometry, once-resampled-source
+    approximation), or "gather" (exact XLA gather)."""
     import jax.numpy as jnp
     dtype = {"dtype": jnp.bfloat16} if bf16 else {}
+    sweep = ({} if sweep_method == "auto"
+             else {"sweep_method": sweep_method})
     if architecture == "cvp_mvsnet":
-        return {"kwargs": dict(dtype), "downscale": 1}
+        return {"kwargs": {**dtype, **sweep}, "downscale": 1}
     if architecture == "vis_mvsnet":
         return {"kwargs": {"depth_nums": (64, 32, 16),
-                           "interval_scales": (2.0, 1.0, 0.5), **dtype},
+                           "interval_scales": (2.0, 1.0, 0.5), **dtype,
+                           **sweep},
                 "downscale": 2}
-    return {"kwargs": dict(dtype), "downscale": 4}
+    return {"kwargs": {**dtype, **sweep}, "downscale": 4}
 
 
 def eval_forward_fn(model, variables):

@@ -29,7 +29,7 @@ from .fusion import fuse_depthmaps
 
 
 def load_network(model_dir: str | None, architecture: str | None,
-                 sample, dataset_name: str):
+                 sample, dataset_name: str, sweep_method: str = "auto"):
     """Build + restore the eval network; architecture comes from checkpoint
     metadata when a model dir is given (parity pipeline_utils.py:114-163)."""
     import jax.numpy as jnp
@@ -38,7 +38,7 @@ def load_network(model_dir: str | None, architecture: str | None,
         from ..train.checkpoint import resolve_checkpoint
         ckpt, architecture = resolve_checkpoint(model_dir)
     assert architecture is not None
-    cfg = eval_model_kwargs(architecture)
+    cfg = eval_model_kwargs(architecture, sweep_method=sweep_method)
     kwargs = dict(cfg["kwargs"])
     model = build_model(architecture, **kwargs)
     imgs = sample["imgs"]
@@ -80,7 +80,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                  filter_num_views: int | None = None,
                  chunked_eval: bool = False,
                  fusion_max_reproj_error: float | None = None,
-                 process_index: int = 0, process_count: int = 1) -> dict:
+                 process_index: int = 0, process_count: int = 1,
+                 sweep_method: str = "auto") -> dict:
     from ..utils.monitor import StageTimer
     work_dir = Path(work_dir)
     depth_dir = work_dir / "IntRes" / "depthmaps" / scene
@@ -123,7 +124,8 @@ def run_pipeline(dataset, work_dir: Path, model_dir: str | None = None,
                               process_count=process_count)
     else:
         model, variables, architecture, cvp_nscale = load_network(
-            model_dir, architecture, sample0, dataset_name)
+            model_dir, architecture, sample0, dataset_name,
+            sweep_method=sweep_method)
         run_depthmaps(dataset, model, variables, depth_dir, override=override,
                       debug=debug, cvp_nscale=cvp_nscale,
                       process_index=process_index,
@@ -314,6 +316,11 @@ def main(argv=None):
                         "'classic' (non-learned ZNCC plane sweep — the "
                         "TPU-native stand-in for the reference's --colmap "
                         "patch-match baseline, colmap_utils.py:282-322)")
+    p.add_argument("--sweep_method", default="auto",
+                   choices=["auto", "rect", "gather"],
+                   help="cost-volume sweep backend (rect: the "
+                        "H_inf-factored fast path, ~2.5x at full-res "
+                        "eval; see ops/rect_sweep.py)")
     p.add_argument("--classic", action="store_true",
                    help="shorthand for --architecture classic (parity with "
                         "the reference's --colmap flag, pipeline_utils.py:40)")
@@ -389,7 +396,8 @@ def main(argv=None):
         upsample=a.upsample, filter_num_views=a.filter_num_views,
         chunked_eval=a.chunked_eval,
         fusion_max_reproj_error=a.fusion_max_reproj_error,
-        process_index=a.process_index, process_count=a.process_count)
+        process_index=a.process_index, process_count=a.process_count,
+        sweep_method=a.sweep_method)
     print(json.dumps(results, default=str))
 
 
