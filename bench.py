@@ -203,6 +203,14 @@ def main():
             build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD),
             scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4))
+        # the rectified (H_inf-factored) sweep — the fast eval-protocol
+        # config (pipeline --sweep_method rect; ops/rect_sweep.py, exact
+        # gather fallback, approximation bounded by tests/test_rect_sweep)
+        measure("mvsnet_eval_1184x1600_N5_rect_maps_s",
+                lambda: 1.0 / time_model(
+                    build_model("mvsnet", num_depth=192,
+                                dtype=jnp.bfloat16, sweep_method="rect"),
+                    scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4))
         measure("vis_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("vis_mvsnet", depth_nums=(64, 32, 16),
                         interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
