@@ -298,3 +298,55 @@ def test_cvp_sweep_method_rect_forward(monkeypatch):
     interval = (935.0 - 425.0) / 96.0
     assert np.isfinite(dr).all()
     assert np.abs(dr - dg)[:, 4:-4, 4:-4].mean() < 2.0 * interval
+
+
+def test_coverage_guard_dispatches_to_gather():
+    """Advisor r3: an undersized canvas margin must dispatch to the exact
+    gather (rect_coverage_ok folded into the span conds) instead of
+    silently sampling canvas-border zeros where the gather is valid.
+
+    Probe: a huge-baseline translation rig whose residual disparity spread
+    (~29 px) dwarfs margin=4; the kernel path is NaN-poisoned, so any NaN
+    in the output proves the wrong branch ran."""
+    import wildmvs.ops.rect_sweep as RS
+    from wildmvs.geometry.projective import build_proj_matrices
+
+    rng = np.random.default_rng(0)
+    h, w, c = 16, 24, 8
+    K = np.array([[w * 1.2, 0, w / 2], [0, w * 1.2, h / 2], [0, 0, 1]],
+                 np.float32)
+    Ks = np.stack([K, K])
+    Rs = np.stack([np.eye(3, dtype=np.float32)] * 2)
+    ts = np.stack([np.zeros((3, 1), np.float32),
+                   np.array([[3.0], [0.0], [0.0]], np.float32)])
+    proj = build_proj_matrices(jnp.asarray(Ks)[None], jnp.asarray(Rs)[None],
+                               jnp.asarray(ts)[None])
+    feats = [jnp.asarray(rng.standard_normal((1, h, w, c)), jnp.bfloat16)
+             for _ in range(2)]
+    depths = jnp.linspace(2.0, 6.0, 8)[None]
+
+    orig = RS.mosaic_sweep_warp_px
+    RS.mosaic_sweep_warp_px = lambda *a, **k: orig(*a, **k) * jnp.nan
+    try:
+        out = RS.rect_cost_volume(feats, proj, depths, (h, w), margin=4,
+                                  interpret=True)
+    finally:
+        RS.mosaic_sweep_warp_px = orig
+    out = np.asarray(out, np.float32)
+    assert np.isfinite(out).all(), "kernel branch ran despite coverage miss"
+
+    # and the guard must NOT disturb a well-covered rig: ample margin ->
+    # kernel branch (poison detects it)
+    ts2 = np.stack([np.zeros((3, 1), np.float32),
+                    np.array([[0.05], [0.0], [0.0]], np.float32)])
+    proj2 = build_proj_matrices(jnp.asarray(Ks)[None],
+                                jnp.asarray(Rs)[None],
+                                jnp.asarray(ts2)[None])
+    RS.mosaic_sweep_warp_px = lambda *a, **k: orig(*a, **k) * jnp.nan
+    try:
+        out2 = RS.rect_cost_volume(feats, proj2, depths, (h, w), margin=8,
+                                   interpret=True)
+    finally:
+        RS.mosaic_sweep_warp_px = orig
+    assert np.isnan(np.asarray(out2, np.float32)).any(), \
+        "coverage guard became over-conservative: kernel never dispatched"

@@ -1,0 +1,134 @@
+"""End-to-end quality drive with a NETWORK in the loop (CPU).
+
+VERDICT round 3 item 7: the r3 fusion sensitivity study characterized
+stages 2-4 with oracle depths + controlled noise; this closes the loop by
+driving the full 4-stage pipeline (depthmaps -> geometric filter -> native
+fusion -> chamfer) with actual trained networks, all three families:
+
+  1. trains each architecture briefly on the synthetic dataset via the
+     REAL train CLI (checkpoints through orbax, exercised exactly as a
+     user would: python -m wildmvs.train.cli ...);
+  2. reconstructs a held-out rendered 5-view scene through
+     pipeline.reconstruction.run_pipeline (model_dir -> architecture from
+     checkpoint metadata, parity pipeline_utils.py:114-163);
+  3. scores chamfer accuracy (pred->GT) / completeness (GT->pred) against
+     densely-sampled GT surface points, the same scoring as
+     tools/fusion_sensitivity.py so the network rows compare directly
+     with the oracle-depth rows (BASELINE.md round 3 table);
+  4. an `oracle` row (GT depths through the same stages 2-4) calibrates
+     the pipeline ceiling for this scene.
+
+Parity: reconstruction_pipeline.py:23-48 (stage order),
+evaluation/metrics.py:99-139 (chamfer definitions).
+
+Run: JAX_PLATFORMS=cpu python tools/e2e_quality.py [--epochs 12]
+Prints one JSON line per architecture + a summary line.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import numpy as np  # noqa: E402
+
+
+def setup_cpu():
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+
+
+TRAIN_ARGS = {
+    # small-hypothesis supervised recipes that converge on the synthetic
+    # set in minutes on CPU (cf. the r3 occ_masking dynamics run)
+    "mvsnet": ["--num_depth", "48", "--lr", "3e-3"],
+    "vis_mvsnet": ["--lr", "1e-3"],
+    "cvp_mvsnet": ["--lr", "1e-3"],
+}
+
+
+def train_arch(arch: str, logdir: Path, epochs: int) -> float:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    t0 = time.time()
+    cmd = [sys.executable, "-m", "wildmvs.train.cli", "--dataset",
+           "synthetic", "--architecture", arch, "--supervised", "--epochs",
+           str(epochs), "--logdir", str(logdir), "--platform", "cpu",
+           "--print_every", "100"] + TRAIN_ARGS[arch]
+    r = subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                       text=True, timeout=7200)
+    if r.returncode != 0:
+        raise RuntimeError(f"train {arch} rc={r.returncode}\n"
+                           f"{r.stderr[-2000:]}")
+    return time.time() - t0
+
+
+def reconstruct_and_score(arch: str, model_dir, work_dir: Path,
+                          prob_threshold: float):
+    from tools.fusion_sensitivity import gt_points
+    from wildmvs.data.ply import ply_xyz
+    from wildmvs.data.synthetic import SyntheticSceneDataset
+    from wildmvs.pipeline.metrics3d import chamfer_nn
+    from wildmvs.pipeline.reconstruction import run_pipeline
+
+    scene = SyntheticSceneDataset(num_views=5, height=64, width=96, seed=0)
+    res = run_pipeline(scene, work_dir, model_dir=model_dir,
+                      architecture=arch, dataset_name="synthetic",
+                      scene=f"e2e_{arch}", prob_threshold=prob_threshold,
+                      upsample=True, override=True)
+    pred = ply_xyz(Path(res["ply"]))
+    gt = gt_points(scene)
+    interval = (scene.z_range[1] - scene.z_range[0]) / 128.0
+    row = {"arch": arch, "num_points": res["num_points"],
+           "interval": round(interval, 4)}
+    if len(pred) >= 10:
+        row["acc"] = round(float(np.mean(chamfer_nn(pred, gt))), 5)
+        row["comp"] = round(float(np.mean(chamfer_nn(gt, pred))), 5)
+    else:
+        row["acc"] = row["comp"] = None
+    return row
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--epochs", type=int, default=12)
+    p.add_argument("--prob_threshold", type=float, default=0.8)
+    p.add_argument("--archs",
+                   default="oracle,mvsnet,vis_mvsnet,cvp_mvsnet")
+    args = p.parse_args()
+    setup_cpu()
+
+    rows = []
+    with tempfile.TemporaryDirectory() as td:
+        td = Path(td)
+        for arch in args.archs.split(","):
+            try:
+                if arch == "oracle":
+                    row = reconstruct_and_score("oracle", None, td / "work",
+                                                args.prob_threshold)
+                else:
+                    logdir = td / f"train_{arch}"
+                    train_s = train_arch(arch, logdir, args.epochs)
+                    row = reconstruct_and_score(arch, str(logdir),
+                                                td / "work",
+                                                args.prob_threshold)
+                    row["train_s"] = round(train_s, 1)
+            except Exception as e:  # keep the other rows on one failure
+                row = {"arch": arch, "error": str(e)[:500]}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    print(json.dumps({"e2e_quality": rows,
+                      "epochs": args.epochs,
+                      "prob_threshold": args.prob_threshold}))
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,8 @@ plane-sweep warp is a scatter-add over the gathered indices — this tool
 exists to see whether that VJP is a cliff on TPU.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 1800 \
-    python tools/time_train.py [arch] [dtype] [flags: batched_bn remat]
+    python tools/time_train.py [arch] [dtype] \
+        [flags: batched_bn remat remat_levels packed_training]
 """
 import sys
 import time
@@ -34,7 +35,9 @@ def main():
                          supervised=True, batch_size=1, num_im_train=3,
                          train_dtype=dtype,
                          batched_bn="batched_bn" in flags,
-                         remat="remat" in flags)
+                         remat="remat" in flags,
+                         remat_levels="remat_levels" in flags,
+                         packed_training="packed_training" in flags)
     ds = SyntheticMVSDataset(num_samples=2, num_views=3, height=512,
                              width=640, seed=0)
     batch = collate([ds[0]])

@@ -93,20 +93,29 @@ class CVPCostRegNet(nn.Module):
     block-banded kernel (nn/blocks.py TorchConv.packed_depth). Same math
     and parameters; the MXU sees 128/256-channel matmuls instead of the
     16-channel ones that measured ~3% utilization — the dominant CVP eval
-    cost (61 ms at 512x640, BASELINE.md round 2)."""
+    cost (61 ms at 512x640, BASELINE.md round 2).
+
+    `train_packing=True` extends the packed paths to TRAIN time (the bf16
+    fast-train recipe): the packed BN view ([..., D, C], nn/blocks.py
+    BatchNorm) already computes batch statistics and running-stat updates
+    per C over (B, H, W, D) — identical to the unpacked conv3d BN — and
+    the packed kernels are built from the SAME parameters by differentiable
+    scatters, so gradients flow to the identical parameter set."""
     dtype: Any = jnp.float32
+    train_packing: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, packing: str = "auto"):
         b, d, h, w, c = x.shape
-        packed = (packing == "auto" and not train
+        pack_ok = (not train) or self.train_packing
+        packed = (packing == "auto" and pack_ok
                   and d % 2 == 0 and d * c <= 256)
         # larger hypothesis counts (the coarse full sweep: D=96, C=16) use
         # the BLOCK-depth-packed path instead (nn/blocks packed_block):
         # p=8 blocks keep every level at 128 packed channels with a
         # halo-plane concat for the cross-block taps (packing="off" forces
         # the unpacked conv3d stack — testing/debug)
-        blocked = (packing == "auto" and not train
+        blocked = (packing == "auto" and pack_ok
                    and not packed and d % 8 == 0)
         pb1 = pb2 = None
         if packed:
@@ -247,6 +256,15 @@ class CVPMVSNet(nn.Module):
     # sweep, ops/rect_sweep.rect_cost_volume — cheap KY=2 windows under any
     # rig geometry, once-resampled-source approximation) | "gather"
     sweep_method: str = "auto"
+    # per-LEVEL rematerialization at train (jax.checkpoint around each
+    # pyramid level's extractor/cost-volume/regularizer): peak activation
+    # memory = the largest level instead of the sum over levels — what
+    # makes the f32 full-pyramid train graph fit 16 GB HBM (the torch
+    # analogue would be checkpoint_sequential over net.py:96-229's level
+    # loop, which the reference does not use)
+    remat_levels: bool = False
+    # run the packed 3D regularizer at train too (see CVPCostRegNet)
+    packed_training: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -265,8 +283,14 @@ class CVPMVSNet(nn.Module):
         dmin = depth_min[:, ref]
         dmax = depth_max[:, ref]
 
-        fp_net = FeaturePyramidNet(dtype=self.dtype, name="feature_pyramid")
-        reg_net = CVPCostRegNet(dtype=self.dtype, name="cost_reg_refine")
+        remat = self.remat_levels and train
+        fp_cls = nn.remat(FeaturePyramidNet) if remat else FeaturePyramidNet
+        # static_argnums: (self, x, train, packing) — 2 and 3 are Python
+        reg_cls = (nn.remat(CVPCostRegNet, static_argnums=(2, 3)) if remat
+                   else CVPCostRegNet)
+        fp_net = fp_cls(dtype=self.dtype, name="feature_pyramid")
+        reg_net = reg_cls(dtype=self.dtype, name="cost_reg_refine",
+                          train_packing=self.packed_training)
 
         # image pyramid + per-level features; feats[level][i] is the ordered
         # view i's [B, fh_i, fw_i, C] features (ref first)
@@ -364,6 +388,16 @@ class CVPMVSNet(nn.Module):
             return variance_cost_volume(flevel[0], warp_fns=warp_fns,
                                         num_depth=hyp.shape[1])
 
+        if remat:
+            # free each level's warp/aggregation intermediates after the
+            # forward; the backward recomputes them level by level
+            _lc = level_cost
+
+            def level_cost(flevel, proj, hyp, fh, fw, sharded=False):
+                return jax.checkpoint(
+                    lambda fl, pr, hy: _lc(fl, pr, hy, fh, fw, sharded)
+                )(list(flevel), proj, hyp)
+
         # ---- coarsest level: full sweep ----
         nhyp = 48 if train else 96
         interval = (dmax - dmin) / nhyp  # (max-min)/D (modules.py:58)
@@ -384,7 +418,7 @@ class CVPMVSNet(nn.Module):
         # keep the 3D-reg convs' D-in-lanes layout from propagating into the
         # warp gather (same measured win as mvsnet.py:204)
         cost = jax.lax.optimization_barrier(cost)
-        prob = nn.softmax(reg_net(cost, train), axis=1)
+        prob = nn.softmax(reg_net(cost, train, "auto"), axis=1)
         depth = depth_regression(prob, depth_hypos)
         depth_est_list = [depth]
 
@@ -406,7 +440,7 @@ class CVPMVSNet(nn.Module):
             proj = level_proj(level)
             cost = level_cost(flevel, proj, hyp, fh, fw)
             cost = jax.lax.optimization_barrier(cost)
-            prob = nn.softmax(reg_net(cost, train), axis=1)
+            prob = nn.softmax(reg_net(cost, train, "auto"), axis=1)
             depth = depth_regression(prob, hyp)
             depth_est_list.append(depth)
 

@@ -74,15 +74,18 @@ def rect_margin(ref_hw: tuple[int, int]) -> int:
 
 
 def rect_shift(e: jnp.ndarray, svals: jnp.ndarray,
-               ref_hw: tuple[int, int]):
+               ref_hw: tuple[int, int], offset: float = 0.0):
     """Integer per-view canvas recentering: the mid-sweep disparity of the
     grid-center pixel, round()ed so a pure-translation rig (A == I) still
     resamples on the integer grid (bit-exactness preserved).
 
     delta(s) = u(s) - x_c = (e_xy - x_c e_z) s / (1 + e_z s); the shift is
-    the midpoint of delta at the sweep's s extremes."""
+    the midpoint of delta at the sweep's s extremes.  `offset` is the
+    caller's pixel-center offset (0.0 MVSNet grid, 0.5 Vis) so the center
+    estimate matches the grid rect_planes actually sweeps."""
     rh, rw = ref_hw
-    xc = jnp.array([(rw - 1) / 2.0, (rh - 1) / 2.0], jnp.float32)
+    xc = jnp.array([(rw - 1) / 2.0 + offset,
+                    (rh - 1) / 2.0 + offset], jnp.float32)
     s_lo = jnp.min(svals).astype(jnp.float32)
     s_hi = jnp.max(svals).astype(jnp.float32)
 
@@ -114,13 +117,53 @@ def rect_planes(e: jnp.ndarray, ref_hw: tuple[int, int], margin: int,
     return P, Q
 
 
-def rect_resample(src: jnp.ndarray, A: jnp.ndarray, ref_hw: tuple[int, int],
-                  margin: int, shift=None) -> jnp.ndarray:
-    """Source features resampled by the infinite homography onto the
-    margin-expanded, shift-recentered ref-aligned canvas:
-    out[v+M, u+M] = src(A (u + shift_x, v + shift_y, 1))
-    (bilinear, border-zero — grid_sample zeros match the sweep kernels'
-    invalid-sample convention)."""
+def rect_coverage_ok(e: jnp.ndarray, A: jnp.ndarray, svals: jnp.ndarray,
+                     ref_hw: tuple[int, int], margin: int,
+                     src_hw: tuple[int, int], shift,
+                     offset: float = 0.0) -> jnp.ndarray:
+    """Scalar bool: every probed sweep sample that the exact gather would
+    find INSIDE the source image also lands on the margin-expanded canvas.
+
+    The canvas masks out-of-range samples to zero, so a rig whose residual
+    disparity spread exceeds the margin would otherwise degrade silently
+    where the gather is still valid (advisor r3).  Probed on a sparse
+    pixel grid x the s extremes: the residual u(s) is affine in the pixel
+    per axis (extremes at grid corners) and monotone in s between the
+    extremes wherever the denominator keeps its sign, so corner/extreme
+    probing bounds the interior to grid resolution."""
+    rh, rw = ref_hw
+    h, w = src_hw
+    n_probe = 8
+    px = jnp.linspace(offset, rw - 1 + offset, n_probe, dtype=jnp.float32)
+    py = jnp.linspace(offset, rh - 1 + offset, n_probe, dtype=jnp.float32)
+    gx, gy = jnp.meshgrid(px, py)                      # [P, P]
+    s_ext = jnp.stack([jnp.min(svals), jnp.max(svals)]
+                      ).astype(jnp.float32)[:, None, None]
+    den = 1.0 + e[2] * s_ext
+    valid_den = den > 1e-6
+    dens = jnp.where(valid_den, den, 1.0)
+    ux = (gx[None] + e[0] * s_ext) / dens              # rectified coords
+    uy = (gy[None] + e[1] * s_ext) / dens
+    # the exact gather's source coordinate: A u (perspective)
+    A = A.astype(jnp.float32)
+    z = A[2, 0] * ux + A[2, 1] * uy + A[2, 2]
+    zok = z > 1e-6
+    zs = jnp.where(zok, z, 1.0)
+    vx = (A[0, 0] * ux + A[0, 1] * uy + A[0, 2]) / zs
+    vy = (A[1, 0] * ux + A[1, 1] * uy + A[1, 2]) / zs
+    src_in = (zok & valid_den & (vx >= 0) & (vx <= w - 1)
+              & (vy >= 0) & (vy <= h - 1))
+    # the canvas coordinate of the same sample: u - shift + margin
+    cx = ux - shift[0] + margin
+    cy = uy - shift[1] + margin
+    hm, wm = rh + 2 * margin, rw + 2 * margin
+    canvas_in = ((cx >= 0) & (cx <= wm - 1) & (cy >= 0) & (cy <= hm - 1))
+    return jnp.all(jnp.logical_or(~src_in, canvas_in))
+
+
+def _rect_resample_body(src, A, ref_hw, margin, shift, norm: str):
+    """Shared projective canvas resample; `norm` picks the pixel->NDC
+    convention (the ONLY difference between the MVSNet and Vis arms)."""
     from ..geometry.projective import pixel_grid
     from .grid_sample import grid_sample_xy
     h, w, _ = src.shape
@@ -137,10 +180,26 @@ def rect_resample(src: jnp.ndarray, A: jnp.ndarray, ref_hw: tuple[int, int],
                    -10.0)
     gy = jnp.where(z > 0, (A[1, 0] * ux + A[1, 1] * uy + A[1, 2]) / zs,
                    -10.0)
-    # unnormalized pixel coords -> align_corners=True NDC (module.py:164)
-    gxn = 2.0 * gx / (w - 1.0) - 1.0
-    gyn = 2.0 * gy / (h - 1.0) - 1.0
+    if norm == "mvsnet":
+        # unnormalized pixel coords -> align_corners=True NDC (module.py:164)
+        gxn = 2.0 * gx / (w - 1.0) - 1.0
+        gyn = 2.0 * gy / (h - 1.0) - 1.0
+    else:                                              # "vis"
+        # homography_sweep_warp chain: x / size * 2 - 1 into align_corners
+        # (the net (size-1)/size pixel scale), +-1.1 clip
+        gxn = jnp.clip(gx / w * 2.0 - 1.0, -1.1, 1.1)
+        gyn = jnp.clip(gy / h * 2.0 - 1.0, -1.1, 1.1)
     return grid_sample_xy(src, gxn, gyn, align_corners=True)
+
+
+def rect_resample(src: jnp.ndarray, A: jnp.ndarray, ref_hw: tuple[int, int],
+                  margin: int, shift=None) -> jnp.ndarray:
+    """Source features resampled by the infinite homography onto the
+    margin-expanded, shift-recentered ref-aligned canvas:
+    out[v+M, u+M] = src(A (u + shift_x, v + shift_y, 1))
+    (bilinear, border-zero — grid_sample zeros match the sweep kernels'
+    invalid-sample convention)."""
+    return _rect_resample_body(src, A, ref_hw, margin, shift, "mvsnet")
 
 
 def rect_cost_volume(feats_l, proj, ref_depths, ref_hw,
@@ -197,8 +256,10 @@ def _rect_agg_perview(feats_l, proj, ref_depths, ref_hw, bb,
         planA = sweep_spans_px(P, Q, svals, (Hm, Wm))
         planB = sweep_spans_px(P, Q, svals, (Hm, Wm), nt=TIER_B["NT"])
         views.append((i, A, shift, P, Q, planA, planB))
-        fitA = _plan_fit(planA, 2, KR, 2, Ht)
-        fitB = _plan_fit(planB, 2, KR, TIER_B["NT"], Ht)
+        cover = rect_coverage_ok(e, A, svals, ref_hw, M,
+                                 feats_l[i].shape[1:3], shift)
+        fitA = _plan_fit(planA, 2, KR, 2, Ht) & cover
+        fitB = _plan_fit(planB, 2, KR, TIER_B["NT"], Ht) & cover
         okA = fitA if okA is None else okA & fitA
         okB = fitB if okB is None else okB & fitB
 
@@ -297,25 +358,7 @@ def vis_rect_resample(src: jnp.ndarray, A: jnp.ndarray,
     homography_sweep_warp normalization chain (x / size * 2 - 1 into an
     align_corners grid_sample — the net (size-1)/size pixel scale),
     border-zero."""
-    from ..geometry.projective import pixel_grid
-    from .grid_sample import grid_sample_xy
-    h, w, _ = src.shape
-    rh, rw = ref_hw
-    hm, wm = rh + 2 * margin, rw + 2 * margin
-    sx, sy = ((0.0, 0.0) if shift is None else (shift[0], shift[1]))
-    grid = pixel_grid(hm, wm, jnp.float32)
-    ux = grid[..., 0] - margin + sx
-    uy = grid[..., 1] - margin + sy
-    A = A.astype(jnp.float32)
-    z = A[2, 0] * ux + A[2, 1] * uy + A[2, 2]
-    zs = jnp.where(z > 0, z, 1.0)
-    gx = jnp.where(z > 0, (A[0, 0] * ux + A[0, 1] * uy + A[0, 2]) / zs,
-                   -10.0)
-    gy = jnp.where(z > 0, (A[1, 0] * ux + A[1, 1] * uy + A[1, 2]) / zs,
-                   -10.0)
-    gxn = jnp.clip(gx / w * 2.0 - 1.0, -1.1, 1.1)
-    gyn = jnp.clip(gy / h * 2.0 - 1.0, -1.1, 1.1)
-    return grid_sample_xy(src, gxn, gyn, align_corners=True)
+    return _rect_resample_body(src, A, ref_hw, margin, shift, "vis")
 
 
 def rect_gwc_volume(src, ref_feat, K_ref, R_ref, t_ref, K_src, R_src,
@@ -353,12 +396,14 @@ def rect_gwc_volume(src, ref_feat, K_ref, R_ref, t_ref, K_src, R_src,
             svals = svals[:, 0, 0]
         else:
             svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
-        shift = rect_shift(e, svals, ref_hw)
+        shift = rect_shift(e, svals, ref_hw, offset=0.5)
         P, Q = rect_planes(e, ref_hw, M, shift, offset=0.5)
         planA = sweep_spans_px(P, Q, svals, (Hm, Wm))
         planB = sweep_spans_px(P, Q, svals, (Hm, Wm), nt=TIER_B["NT"])
-        okA = _plan_fit(planA, 2, KRw, 2, Ht)
-        okB = _plan_fit(planB, 2, KRw, TIER_B["NT"], Ht)
+        cover = rect_coverage_ok(e, A, svals, ref_hw, M, (h, w), shift,
+                                 offset=0.5)
+        okA = _plan_fit(planA, 2, KRw, 2, Ht) & cover
+        okB = _plan_fit(planB, 2, KRw, TIER_B["NT"], Ht) & cover
         ref_chw = jnp.transpose(ref_feat[bb], (0, 2, 1))   # [H, C, W]
 
         def kern(plan, nt, bb=bb, A=A, shift=shift, P=P, Q=Q, svals=svals,

@@ -287,6 +287,12 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the forward in the backward pass "
                         "(jax.checkpoint) to cut activation memory")
+    p.add_argument("--remat_levels", action="store_true",
+                   help="cvp_mvsnet: rematerialize per pyramid LEVEL "
+                        "(peak memory = largest level, the f32 recipe)")
+    p.add_argument("--packed_training", action="store_true",
+                   help="cvp_mvsnet: packed 3D regularizer at train "
+                        "(same math/params; MXU-sized matmuls)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 network compute (f32 params/optimizer) — "
                         "MXU-native mixed-precision training")
@@ -327,7 +333,8 @@ def main(argv=None):
         print_every=a.print_every, logdir=a.logdir, debug=a.debug,
         data_path=a.data_path,
         num_depth=a.num_depth, num_workers=a.num_workers,
-        train_dtype="bfloat16" if a.bf16 else "float32", remat=a.remat)
+        train_dtype="bfloat16" if a.bf16 else "float32", remat=a.remat,
+        remat_levels=a.remat_levels, packed_training=a.packed_training)
     with profiler_trace(a.logdir, enabled=a.trace):
         run(config, world_size=a.world_size, resume=a.resume,
             loadckpt=a.loadckpt)

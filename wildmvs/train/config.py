@@ -44,6 +44,18 @@ class TrainConfig:
     # BN then normalizes across views instead of the reference's per-view
     # calls — a deliberate deviation, off by default for parity)
     batched_bn: bool = False
+    # cvp_mvsnet only — per-LEVEL rematerialization (extractor, cost
+    # volume, and regularizer of each pyramid level recomputed in the
+    # backward): peak activation memory drops from the sum over levels to
+    # the largest level, the f32 full-pyramid recipe (finer-grained than
+    # `remat`, which recomputes the whole forward once)
+    remat_levels: bool = False
+    # cvp_mvsnet only — run the depth-packed/block-packed 3D regularizer
+    # at TRAIN time too (same math and parameters as the unpacked conv3d
+    # stack, BN statistics still per-C over (B,D,H,W); the packed view is
+    # what lets the MXU see 128+-channel matmuls instead of the 16-channel
+    # ones that measured ~3% utilization)
+    packed_training: bool = False
     # model structure overrides (None -> architecture defaults)
     num_depth: int = 192               # mvsnet hypothesis count (model.py:98)
     # mesh axis for depth-hypothesis slab sharding (mvsnet; requires an

@@ -79,6 +79,11 @@ def create_model(config: TrainConfig):
         kwargs["dtype"] = jnp.bfloat16
     if config.batched_bn:
         kwargs["batched_bn"] = True  # all architectures expose the field
+    if config.architecture == "cvp_mvsnet":
+        if config.remat_levels:
+            kwargs["remat_levels"] = True
+        if config.packed_training:
+            kwargs["packed_training"] = True
     return build_model(config.architecture, **kwargs)
 
 
