@@ -55,6 +55,7 @@ def baseline():
     return _step_grads(cfg, _batch())
 
 
+@pytest.mark.slow
 def test_packed_training_matches_unpacked(baseline):
     loss0, g0, s0 = baseline
     cfg = TrainConfig(architecture="cvp_mvsnet", dataset="synthetic",
@@ -72,6 +73,7 @@ def test_packed_training_matches_unpacked(baseline):
     assert np.abs(s1 - s0).max() < 1e-4 * max(1.0, np.abs(s0).max())
 
 
+@pytest.mark.slow
 def test_remat_levels_matches_default(baseline):
     loss0, g0, _ = baseline
     cfg = TrainConfig(architecture="cvp_mvsnet", dataset="synthetic",

@@ -194,6 +194,7 @@ def test_variance_volume_mosaic_px_matches_gather():
                   - np.asarray(want, np.float32)).max() < 0.15
 
 
+@pytest.mark.slow
 def test_cost_volume_mosaic_dispatch_interpret(monkeypatch):
     # the model-level dispatch: kernel branch output must match the gather
     # branch's variance volume (forced through interpret mode)
@@ -251,6 +252,7 @@ def test_warp_mosaic_custom_vjp_matches_gather_grad():
     np.testing.assert_allclose(gm, gg, rtol=0, atol=0)
 
 
+@pytest.mark.slow
 def test_cost_volume_mosaic_softmin_interpret(monkeypatch):
     """The mvsnet-s softmin aggregation through the mosaic branch (computed
     in the kernel's [D, H, C, W] layout) == the reference-layout softmin."""

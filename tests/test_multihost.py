@@ -68,6 +68,7 @@ def test_shard_batch_from_local_equals_device_put():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 virtual devices")
+@pytest.mark.slow
 def test_data_parallel_step_on_assembled_batch_matches_single():
     """End-to-end: a train step fed through the multi-host assembly path
     equals the plain single-host step (the step itself is host-count
@@ -109,6 +110,7 @@ def test_data_parallel_step_on_assembled_batch_matches_single():
     assert diffs.max() < 2.5 * cfg.lr, diffs.max()
 
 
+@pytest.mark.slow
 def test_two_process_rendezvous_matches_single(tmp_path):
     """REAL multi-process coordinator path: two subprocesses, 4 virtual CPU
     devices each, rendezvous via jax.distributed over localhost, shared

@@ -79,6 +79,7 @@ def test_gradients_flow(rng):
     assert total > 0
 
 
+@pytest.mark.slow
 def test_vis_mvsnet_contract(rng):
     model = build_model("vis_mvsnet", depth_nums=(8, 4, 4),
                         interval_scales=(4.0, 2.0, 1.0))
@@ -101,6 +102,7 @@ def test_vis_mvsnet_contract(rng):
         assert np.isfinite(np.asarray(d)).all()
 
 
+@pytest.mark.slow
 def test_vis_mvsnet_gradients(rng):
     model = build_model("vis_mvsnet", depth_nums=(4, 4, 4))
     args = _sample(rng, h=32, w=32)
@@ -122,6 +124,7 @@ def test_vis_mvsnet_gradients(rng):
     assert sum(float(jnp.abs(g).sum()) for g in leaves) > 0
 
 
+@pytest.mark.slow
 def test_cvp_mvsnet_contract_train_and_eval(rng):
     model = build_model("cvp_mvsnet", nscale=2)
     args = _sample(rng, h=64, w=64)

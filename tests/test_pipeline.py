@@ -200,6 +200,7 @@ def test_run_pipeline_upsample_and_filter_num_views(scene, tmp_path):
     assert res["num_points"] > 300
 
 
+@pytest.mark.slow
 def test_run_pipeline_sharded_stage1_then_complete(tmp_path):
     """Multi-host depthmap sharding: two sharded passes (process 0/2 and
     1/2) each produce only their views and do NOT write the stage sentinel;

@@ -213,6 +213,7 @@ def test_rect_argmin_depth_parity_on_textured_scene():
     assert err_r.mean() <= err_g.mean() + 0.5 * spacing
 
 
+@pytest.mark.slow
 def test_mvsnet_sweep_method_rect_forward(monkeypatch):
     # model wiring: sweep_method="rect" must produce a depth map close to
     # the gather path's on the same inputs (interpret-forced kernels)
@@ -256,6 +257,7 @@ def test_mvsnet_sweep_method_rect_forward(monkeypatch):
     assert np.abs(dr - dg)[:, 4:-4, 4:-4].mean() < 0.5 * interval
 
 
+@pytest.mark.slow
 def test_cvp_sweep_method_rect_forward(monkeypatch):
     # model wiring: CVPMVSNet(sweep_method="rect") routes every pyramid
     # level (uniform coarse sweep AND per-pixel refinement maps) through

@@ -9,6 +9,7 @@ against the exact gather path.  Kernels run through the Pallas
 interpreter on CPU.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -119,6 +120,7 @@ def test_rect_gwc_per_pixel_start_fallback_consistency(monkeypatch):
                   - np.asarray(want, np.float32)).max() < 0.04
 
 
+@pytest.mark.slow
 def test_vis_model_sweep_method_rect_forward(monkeypatch):
     # model wiring: VisMVSNet(sweep_method="rect") must produce stage
     # depths close to the exact gather path's on the same inputs

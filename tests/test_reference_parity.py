@@ -116,7 +116,10 @@ def max_err(ours, theirs):
     return float(np.abs(ours - theirs).max())
 
 
-@pytest.mark.parametrize("aggregation", ["variance", "softmin"])
+@pytest.mark.parametrize("aggregation", [
+    pytest.param("variance", marks=pytest.mark.slow),  # softmin row keeps
+    "softmin",                                         # default coverage
+])
 def test_mvsnet_forward_parity(ref_path, aggregation):
     from models.MVSNet.model import MVSNet as RefMVSNet
     torch.manual_seed(0)
@@ -139,6 +142,7 @@ def test_mvsnet_forward_parity(ref_path, aggregation):
                    ref_out["photometric_confidence"]) < 2e-3
 
 
+@pytest.mark.slow
 def test_vis_mvsnet_forward_parity(ref_path):
     from models.VisMVSNet.frontend import Frontend as RefFrontend
     torch.manual_seed(0)
@@ -295,10 +299,13 @@ def _our_loss(arch, supervised, sd, b):
 
 @pytest.mark.parametrize("arch,supervised", [
     ("mvsnet", True),          # masked L1 in interval units
-    ("vis_mvsnet", True),      # multi-scale factors + bayesian pair loss
-    ("vis_mvsnet", False),     # photometric + bayesian-DSSIM pair terms
+    pytest.param("vis_mvsnet", True,   # multi-scale + bayesian pair loss
+                 marks=pytest.mark.slow),
+    pytest.param("vis_mvsnet", False,  # photometric + bayesian-DSSIM pairs
+                 marks=pytest.mark.slow),
     ("mvsnet-s", False),       # photometric DSSIM loss (flow warp path)
-    ("cvp_mvsnet", True),      # pyramid depth list, uniform factors
+    pytest.param("cvp_mvsnet", True,   # pyramid depth list, uniform factors
+                 marks=pytest.mark.slow),
 ])
 def test_trainer_loss_parity(ref_path, arch, supervised):
     """Our eval loss == the reference Trainer.step loss with the same
@@ -324,6 +331,7 @@ def test_trainer_loss_parity(ref_path, arch, supervised):
     assert ours == pytest.approx(ref_loss, rel=2e-3), (ours, ref_loss)
 
 
+@pytest.mark.slow
 def test_gradient_parity_mvsnet_supervised(ref_path):
     """Training parity end to end: d(loss)/d(params) matches the reference
     through the warp, cost volume, 3D UNet and masked-L1 loss, in true

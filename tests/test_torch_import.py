@@ -241,6 +241,7 @@ def test_mvsnet_import_strict_and_layouts(prefix):
     assert np.isfinite(np.asarray(out["depth"])).all()
 
 
+@pytest.mark.slow
 def test_vis_mvsnet_import_strict():
     sd = reference_vis_state_dict()
     from wildmvs.models import build_model

@@ -30,6 +30,7 @@ def test_config_constraints_and_schedule():
                        upsample_training=True).input_down == 4
 
 
+@pytest.mark.slow
 def test_supervised_training_reduces_loss():
     cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
                       supervised=True, num_depth=16, lr=1e-3)
@@ -186,6 +187,7 @@ def test_optimizer_matches_torch_adam_with_weight_decay():
     np.testing.assert_allclose(np.asarray(params["w"]), want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_occ_masking_multiscale_vis_mvsnet():
     """Multi-scale occ_masking (vis_mvsnet): the cross-view gather is
     PER SCALE (the reference all-gathers the current scale's depth inside

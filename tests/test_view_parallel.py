@@ -20,6 +20,7 @@ def make_batch(n_views, b, h=32, w=32, seed=0):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_view_parallel_matches_single_program():
     n = 4
     cfg = TrainConfig(architecture="mvsnet", dataset="synthetic",
@@ -105,6 +106,7 @@ def test_hyp_slab_sharding_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.slow
 def test_view_parallel_data_sharding_averages_gradients():
     """With data > 1 the loss/gradients are pmean'd over BOTH mesh axes —
     DDP averages across every rank, and the returned loss must be genuinely
@@ -158,6 +160,7 @@ def test_view_parallel_data_sharding_averages_gradients():
                                np.mean(losses), rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_vis_mvsnet_pair_and_slab_sharding_matches_unsharded():
     """Metamorphic: Vis-MVSNet with source pairs sharded over `view` and
     cost-volume depth slabs over `hyp` equals the unsharded forward. The
@@ -199,6 +202,7 @@ def test_vis_mvsnet_pair_and_slab_sharding_matches_unsharded():
     assert float(jnp.abs(d_ref - d_sh).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_cvp_hyp_slab_sharding_matches_unsharded():
     """Metamorphic: CVP-MVSNet with the coarse full sweep's 96-hypothesis
     depth axis sharded over `hyp` equals the unsharded eval forward (the
@@ -238,6 +242,7 @@ def test_cvp_hyp_slab_sharding_matches_unsharded():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+@pytest.mark.slow
 def test_occ_masking_multi_epoch_dynamics():
     """Multi-epoch occ_masking training on the view mesh OPTIMIZES: the
     loss over 3 epochs of repeated steps must decrease monotonically-ish

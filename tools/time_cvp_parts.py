@@ -9,7 +9,11 @@ Variants (argv[1], default all):
 
 Each variant is its own jitted chain-scan program (compile cost per
 variant); run on the live backend.
-Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 2400 python tools/time_cvp_parts.py [variant]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site timeout 2400 \
+    python tools/time_cvp_parts.py [variant] [--evalres]
+--evalres switches to the TRUE eval protocol: 1184x1600 N5 nscale 5 on
+the DTU-like rig (bench.scene_dtu), the config behind the
+cvp_eval_1184x1600_N5 bench field (0.908 maps/s round 4).
 """
 import json
 import sys
@@ -50,8 +54,18 @@ def main():
     from wildmvs.models import cvp_mvsnet as C
     from tools.bench_more import scene
 
-    which = sys.argv[1] if len(sys.argv) > 1 else "all"
-    args = scene(1, 3, 512, 640)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    which = argv[0] if argv else "all"
+    if "--evalres" in sys.argv:
+        from bench import scene_dtu
+        args = scene_dtu(1, 5, 1184, 1600, 2892.0)
+        global ITERS
+        ITERS = 3
+    else:
+        args = scene(1, 3, 512, 640)
     imgs, K, R, t, dmin, dmax = args
     model = build_model("cvp_mvsnet", dtype=jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), *args, train=False,

@@ -109,8 +109,10 @@ class MVSNet(nn.Module):
     # plane-sweep warp backend: "auto" picks the Mosaic lane-gather kernel
     # (ops/mosaic_sweep.py; ~5x the exact XLA gather, with a runtime
     # span-cond fallback to it) at bf16 eval on TPU and the exact gather
-    # everywhere else; "gather"/"mosaic"/"wide"/"pallas" force a backend
-    # (the latter three inference-only) — see BASELINE.md
+    # everywhere else; "gather"/"mosaic"/"rect" force a backend (the
+    # latter two inference-only) — see BASELINE.md.  (The superseded
+    # "wide"/"pallas" octet/row-streaming studies were removed in r4;
+    # their measurements live in BASELINE.md warp-study sections.)
     sweep_method: str = "auto"
     # mesh axis name to shard the depth-hypothesis dimension over (the
     # "hyp" slab sharding, SURVEY long-axis parallelism). When set, the
@@ -190,6 +192,8 @@ class MVSNet(nn.Module):
         # hyp-axis sharding (pallas_call does not partition over the depth
         # axis); everything else keeps the exact XLA gather
         method = self.sweep_method
+        if method not in ("auto", "gather", "mosaic", "rect"):
+            raise NotImplementedError(f"sweep_method: {method}")
         hyp_active = False
         if self.hyp_axis is not None:
             from jax.sharding import get_abstract_mesh
@@ -205,9 +209,7 @@ class MVSNet(nn.Module):
             method = "mosaic" if use else "gather"
         if ragged:
             method = "gather"  # fast paths assume uniform source sizes
-        if method == "pallas" and not train and fh % 8 == 0:
-            from ..ops.pallas_sweep import plane_sweep_warp_fast as warp_fn
-        elif method == "mosaic" and train:
+        if method == "mosaic" and train:
             # training: Mosaic forward, gather-path VJP (custom_vjp) inside
             # the standard streaming aggregation
             from ..ops.mosaic_sweep import plane_sweep_warp_mosaic
@@ -249,14 +251,6 @@ class MVSNet(nn.Module):
             cost_volume = cost_volume_mosaic(
                 feats, proj, src_idx, reference_frame, ref_depths,
                 (fh, fw), agg, self.num_depth, temp=temp)
-        elif method == "wide" and not train:
-            # octet wide-gather sweep with ONE exact-fallback cond around
-            # the whole aggregation (see ops/wide_sweep.cost_volume_wide
-            # for why the cond must not sit at the per-view warp)
-            from ..ops.wide_sweep import cost_volume_wide
-            cost_volume = cost_volume_wide(feats, proj, src_idx,
-                                           reference_frame, ref_depths,
-                                           (fh, fw), agg_fn)
         else:
             from ..ops.volumes import (depth_chunked_volume,
                                        gather_chunk_planes)

@@ -88,7 +88,7 @@ def rot_planes(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
     """Per-pixel projection planes: coords = (rot_xyz * d + trans) / z.
 
     Single view: projs [4, 4]. Returns (rot_xyz [3, H, W] f32, trans [3]).
-    Mirrors ops.pallas_sweep.sweep_coords_from_projs (module.py:127-155).
+    Same coordinate decomposition as the reference warp (module.py:127-155).
     """
     from ..geometry.projective import pixel_grid
     rh, rw = ref_hw
@@ -1635,7 +1635,7 @@ homography_sweep_warp_mosaic.defvjp(_hom_mosaic_fwd, _hom_mosaic_bwd)
 
 
 # ---------------------------------------------------------------------------
-# model-level dispatch (mirrors ops.wide_sweep.cost_volume_wide)
+# model-level dispatch: ONE fallback cond around the whole aggregation
 # ---------------------------------------------------------------------------
 
 def mosaic_supported(ref_hw: tuple[int, int], src_hw: tuple[int, int],
@@ -1665,7 +1665,8 @@ def cost_volume_mosaic(feats, proj, src_idx, reference_frame,
 
     Dispatch cascade, ONE runtime lax.cond tree around the WHOLE
     aggregation per batch element (the per-view cond materializes branch
-    results — see ops.wide_sweep.cost_volume_wide):
+    results as f32 per view, ~2 GB of pure overhead — measured in the
+    round-2 octet study, BASELINE.md):
       * resident regime (corner table fits TABLE_VMEM_LIMIT): per-view v1
         resident kernel, span <= 1 -> KY=2, span <= 3 -> KY=4, else exact
         gather. Measured ON PAR with the v3 fused kernel at the headline
