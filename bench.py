@@ -31,6 +31,18 @@ import numpy as np
 
 BASELINE_DEPTHMAPS_PER_S = 8.4
 
+# eval-protocol (1184x1600 N5, DTU-geometry rig) reference anchors:
+# torch reference measured on this host's CPU (tools/bench_torch_ref_evalres
+# .py, 2026-08-21: mvsnet 0.01825 / vis 0.02619 / cvp 0.00872 maps/s) x the
+# same measured 22.4x CPU->TPU scaling the headline anchor uses
+# (BASELINE.md "Baseline anchor") = charitable torch-A100 estimates.
+EVALRES_BASELINE = {
+    "mvsnet_eval_1184x1600_N5_maps_s": 0.01825 * 22.4,
+    "mvsnet_eval_1184x1600_N5_rect_maps_s": 0.01825 * 22.4,
+    "vis_eval_1184x1600_N5_maps_s": 0.02619 * 22.4,
+    "cvp_eval_1184x1600_N5_maps_s": 0.00872 * 22.4,
+}
+
 # experiment hook: sweep backend override (see wildmvs/models/mvsnet.py)
 SWEEP_METHOD = os.environ.get("WILDMVS_BENCH_METHOD", "auto")
 
@@ -90,6 +102,36 @@ def scene_dtu(b, n, h, w, f):
     return imgs, K, R, t, dmin, dmax
 
 
+def small_init(model, args, kwargs):
+    """Initialize parameters via ONE jitted program at a small spatial
+    size (64x96).
+
+    Parameter shapes depend only on channel structure, never on H/W, and
+    values only on shapes + RNG — so a 64x96 init produces the identical
+    variables.  The old eager full-res init instead dispatched thousands
+    of ops through the tunnel at ~33 ms RTT each — the reason every
+    "cached" bench run still blew the driver budget through round 4.  The
+    jitted init is a small program that persists in .jax_cache like any
+    other; the sweep backend contributes no parameters, so it is cloned
+    to the pure-XLA gather to keep the init graph trivial."""
+    import jax
+    import jax.numpy as jnp
+    b, n = args[0].shape[:2]
+    rng = np.random.default_rng(0)
+    mini = (jnp.asarray(rng.random((b, n, 64, 96, 3)), jnp.float32)
+            .astype(args[0].dtype),) + tuple(args[1:])
+    init_model = (model.clone(sweep_method="gather")
+                  if hasattr(model, "sweep_method") else model)
+    fn = jax.jit(lambda a: init_model.init(jax.random.PRNGKey(0), *a,
+                                           train=False, **kwargs))
+    return fn(mini)
+
+
+# WILDMVS_BENCH_SMOKE=1: one iteration, one repeat — functional smoke of
+# the whole bench path (field names, init, dispatch) without real timing
+SMOKE = os.environ.get("WILDMVS_BENCH_SMOKE", "0") == "1"
+
+
 def time_model(model, args, kwargs, iters, repeats=3):
     """Best-of-repeats seconds per forward.
 
@@ -100,9 +142,10 @@ def time_model(model, args, kwargs, iters, repeats=3):
     """
     import jax
     import jax.numpy as jnp
+    if SMOKE:
+        iters, repeats = 1, 1
     imgs = args[0]
-    variables = model.init(jax.random.PRNGKey(0), *args, train=False,
-                           **kwargs)
+    variables = small_init(model, args, kwargs)
 
     @jax.jit
     def forward_chain(v, imgs):
@@ -139,8 +182,11 @@ def main():
     except Exception:
         pass
 
+    t_start = time.time()
+
     def note(msg):
-        print(msg, file=sys.stderr, flush=True)
+        print(f"[t+{time.time() - t_start:5.0f}s] {msg}", file=sys.stderr,
+              flush=True)
 
     record = {}
 
@@ -171,6 +217,9 @@ def main():
             note(f"bench: compiling/timing {key} ...")
             record[key] = round(fn(), 3)
             note(f"bench: {key} = {record[key]}")
+            if key in EVALRES_BASELINE:
+                record[f"{key}_vs_baseline"] = round(
+                    record[key] / EVALRES_BASELINE[key], 3)
         except Exception as e:  # never lose prior fields to one crash
             record[f"{key}_error"] = str(e)[:200]
         emit()

@@ -17,6 +17,7 @@ def sample(h=64, w=64, seed=0):
     return ds[0]
 
 
+@pytest.mark.slow
 def test_predictor_random_weights_unbatched():
     s = sample()
     pred = Predictor(architecture="mvsnet", bf16=False)

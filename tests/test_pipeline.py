@@ -329,3 +329,20 @@ def test_fusion_ragged_depth_sizes(scene):
     coef, *_ = np.linalg.lstsq(A, points[:, 2], rcond=None)
     rms = np.sqrt(np.mean((points[:, 2] - A @ coef) ** 2))
     assert rms < 0.01, rms
+
+
+def test_eval_model_kwargs_per_arch_sweep_defaults():
+    """Pipeline-level sweep defaults are per-architecture, set from the
+    r4 full-res DTU-rig measurements (BASELINE.md round 4): cvp gets the
+    rect sweep (1.63x, ~exact), mvsnet/vis keep auto; explicit overrides
+    always win."""
+    from wildmvs.pipeline.depthmaps import eval_model_kwargs
+
+    assert eval_model_kwargs("cvp_mvsnet")["kwargs"][
+        "sweep_method"] == "rect"
+    assert "sweep_method" not in eval_model_kwargs("mvsnet")["kwargs"]
+    assert "sweep_method" not in eval_model_kwargs("vis_mvsnet")["kwargs"]
+    assert eval_model_kwargs("cvp_mvsnet", sweep_method="gather")[
+        "kwargs"]["sweep_method"] == "gather"
+    assert eval_model_kwargs("mvsnet", sweep_method="rect")["kwargs"][
+        "sweep_method"] == "rect"

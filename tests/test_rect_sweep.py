@@ -352,3 +352,66 @@ def test_coverage_guard_dispatches_to_gather():
         RS.mosaic_sweep_warp_px = orig
     assert np.isnan(np.asarray(out2, np.float32)).any(), \
         "coverage guard became over-conservative: kernel never dispatched"
+
+
+def test_rect_epe_delta_dtu_geometry():
+    """Pin the rect-vs-exact delta at (scaled) DTU eval geometry.
+
+    Full-scale record (tools/rect_accuracy.py, 1184x1600 N5, v5e, r4):
+    mvsnet argmin-level delta mean 0.129 / p95 0.83 intervals, end-metric
+    EPE cost +0.0035 intervals.  This scaled replica (the same 650 mm
+    sphere rig at 128x160, f scaled by 1/10) bounds the cost-volume
+    argmin delta so a rect regression (resample convention, recentering,
+    margin) is caught on CPU."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from bench import scene_dtu
+    from wildmvs.geometry.projective import build_proj_matrices
+    from wildmvs.ops.plane_sweep import plane_sweep_warp
+    from wildmvs.ops.rect_sweep import rect_cost_volume
+    from wildmvs.ops.volumes import variance_cost_volume
+
+    from wildmvs.data.synthetic import render_rig_plane
+
+    h, w, n, d = 128, 160, 3, 48
+    _, K, R, t, dmin, dmax = scene_dtu(1, n, h, w, 289.2)
+    proj = build_proj_matrices(K, R, t)
+    # photoconsistent features: the rendered textured plane mixed through a
+    # fixed random channel matrix (random FEATURES would make the argmin
+    # noise-driven and the delta meaningless)
+    imgs, _gt = render_rig_plane(*(np.asarray(a[0]) for a in (K, R, t)),
+                                 h, w, plane=(-30.0, 0.12, -0.08),
+                                 extent=320.0, seed=0)
+    rng = np.random.default_rng(3)
+    mix = rng.standard_normal((3, 8)).astype(np.float32)
+    feats = [jnp.asarray(imgs[i] @ mix, jnp.bfloat16)[None]
+             for i in range(n)]
+    depths = jnp.linspace(425.0, 935.0, d)[None]
+
+    exact = variance_cost_volume(
+        feats[0], warp_fns=[
+            (lambda i=i: plane_sweep_warp(feats[i], proj[:, i], proj[:, 0],
+                                          depths, (h, w)))
+            for i in range(1, n)], num_depth=d)
+    rect = rect_cost_volume(feats, proj, depths, (h, w), interpret=True)
+
+    cost_e = np.asarray(exact, np.float32).sum(-1)[0]   # [D, H, W]
+    cost_r = np.asarray(rect, np.float32).sum(-1)[0]
+    am_e = cost_e.argmin(0).astype(np.float32)
+    am_r = cost_r.argmin(0).astype(np.float32)
+    # interior pixels (the border band is where the canvas legitimately
+    # differs); deltas in hypothesis steps.  A HARD argmin flips between
+    # near-tied hypotheses on low-texture pixels, so the raw delta runs
+    # higher than the model-level soft-argmin record (0.129 mean at full
+    # scale) — measured 0.66 mean here; bound at 1.0.
+    delta = np.abs(am_e - am_r)[8:-8, 8:-8]
+    assert delta.mean() < 1.0, delta.mean()
+    # the check that mirrors the full-scale conclusion: the approximation
+    # must not COST accuracy — argmin-depth EPE vs the rendered plane's GT
+    # within 0.2 hypothesis steps of the exact path's EPE
+    hyp = np.linspace(425.0, 935.0, d, dtype=np.float32)
+    step = hyp[1] - hyp[0]
+    gt_in = _gt[0][8:-8, 8:-8]
+    epe_e = np.abs(hyp[am_e.astype(int)][8:-8, 8:-8] - gt_in).mean() / step
+    epe_r = np.abs(hyp[am_r.astype(int)][8:-8, 8:-8] - gt_in).mean() / step
+    assert abs(epe_r - epe_e) < 0.2, (epe_e, epe_r)

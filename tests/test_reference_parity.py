@@ -594,6 +594,7 @@ def test_dtu_eval_loader_parity(ref_path, tmp_path):
         assert our_s["depth_min"][1] != our_s["depth_min"][0]
 
 
+@pytest.mark.slow
 def test_vis_mvsnet_ragged_forward_parity(ref_path):
     """Heterogeneous per-view sizes, the in-the-wild eval contract: the
     reference frontend accepts a LIST of differently-sized views

@@ -199,6 +199,7 @@ def init_variables(arch, size=32):
     return model, v, (imgs, K, R, t, jnp.ones((b, n)), jnp.full((b, n), 2.0))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("prefix", ["", "module."])
 def test_mvsnet_import_strict_and_layouts(prefix):
     sd = reference_mvsnet_state_dict(prefix=prefix)

@@ -39,9 +39,13 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-VIEWS = int(os.environ.get("WILDMVS_MP_VIEWS", "12"))
-HW = (64, 96)
-NUM_DEPTH = 48
+VIEWS = int(os.environ.get("WILDMVS_MP_VIEWS", "16"))
+# big enough that per-view inference dominates the fences/dispatch (~2 s
+# per 160x224/D96 view on 2 pinned cores); the tiny 64x96 smoke config
+# measured fence-dominated "scaling" of 0.3x — meaningless
+HW = tuple(int(x) for x in
+           os.environ.get("WILDMVS_MP_HW", "160x224").split("x"))
+NUM_DEPTH = int(os.environ.get("WILDMVS_MP_DEPTH", "96"))
 CORES_PER_PROC = 2
 
 

@@ -77,7 +77,13 @@ def main():
         kw = {"nscale": 5} if arch == "cvp_mvsnet" else {}
         params = None
         outs = {}
-        for method in ("gather", "rect"):
+        # mvsnet: the depth-chunked exact gather fits at full res and is
+        # the bit-exact truth.  vis/cvp: forcing "gather" materializes the
+        # unchunked [D,h,w,C] warped volumes (OOM at 592x800 D16 x4 pairs
+        # on 16 GB); the production "auto" (Mosaic kernel, exact to bf16
+        # rounding, runtime gather fallback) is the exact baseline there.
+        exact = "gather" if arch == "mvsnet" else "auto"
+        for method in (exact, "rect"):
             model = build_model(arch, dtype=jnp.bfloat16,
                                 sweep_method=method, **cfg)
             margs = (imgs, K, R, t, dmin, dmax)
@@ -96,9 +102,10 @@ def main():
                     "epe_vs_gt_itv": round(epe, 4),
                     "wall_s": round(time.time() - t0, 1)}
             print(json.dumps(line), flush=True)
-        delta = np.abs(outs["rect"] - outs["gather"]) / interval
+        delta = np.abs(outs["rect"] - outs[exact]) / interval
         _, m = gt_at(outs["rect"].shape)
         report[arch] = {
+            "exact_baseline": exact,
             "delta_mean_itv": round(float(delta[m].mean()), 4),
             "delta_p95_itv": round(float(np.percentile(delta[m], 95)), 4),
             "delta_max_itv": round(float(delta[m].max()), 4),

@@ -34,12 +34,22 @@ def eval_model_kwargs(architecture: str, bf16: bool = True,
     "auto" (direct Mosaic kernel when supported, exact), "rect" (the
     H_inf-factored sweep, ops/rect_sweep.py: ~2.5x faster at the full-res
     DTU protocol under realistic rig geometry, once-resampled-source
-    approximation), or "gather" (exact XLA gather)."""
+    approximation), or "gather" (exact XLA gather).
+
+    Per-arch default (from the r4 full-res DTU-rig measurements,
+    BASELINE.md round 4): cvp_mvsnet defaults to "rect" — 1101 -> 675 ms
+    at 1184x1600 N5 with a 0.0005-interval mean delta vs the exact path
+    (tools/rect_accuracy.py) — while mvsnet/vis keep "auto" (mvsnet's
+    rect is 2.5x but approximate, so it stays opt-in; vis rect measured
+    SLOWER, 657 vs 568 ms). Passing an explicit sweep_method always
+    wins."""
     import jax.numpy as jnp
     dtype = {"dtype": jnp.bfloat16} if bf16 else {}
     sweep = ({} if sweep_method == "auto"
              else {"sweep_method": sweep_method})
     if architecture == "cvp_mvsnet":
+        if sweep_method == "auto":
+            sweep = {"sweep_method": "rect"}
         return {"kwargs": {**dtype, **sweep}, "downscale": 1}
     if architecture == "vis_mvsnet":
         return {"kwargs": {"depth_nums": (64, 32, 16),
