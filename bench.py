@@ -41,6 +41,7 @@ EVALRES_BASELINE = {
     "mvsnet_eval_1184x1600_N5_rect_maps_s": 0.01825 * 22.4,
     "vis_eval_1184x1600_N5_maps_s": 0.02619 * 22.4,
     "cvp_eval_1184x1600_N5_maps_s": 0.00872 * 22.4,
+    "cvp_eval_1184x1600_N5_rect_maps_s": 0.00872 * 22.4,
 }
 
 # experiment hook: sweep backend override (see wildmvs/models/mvsnet.py)
@@ -212,7 +213,17 @@ def main():
     note(f"bench: headline {record['value']} maps/s")
     emit()
 
+    # graceful deadline: the driver kills the bench at ~1500 s; on a
+    # slow-tunnel day (per-config compile-cache fetches have been observed
+    # to take 3x their usual time) finishing early with the fields we have
+    # beats an rc=124 that loses the record's tail
+    deadline = float(os.environ.get("WILDMVS_BENCH_DEADLINE", "1380"))
+
     def measure(key, fn):
+        if time.time() - t_start > deadline:
+            record[f"{key}_skipped"] = "deadline"
+            emit()
+            return
         try:
             note(f"bench: compiling/timing {key} ...")
             record[key] = round(fn(), 3)
@@ -267,6 +278,14 @@ def main():
         measure("cvp_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
             build_model("cvp_mvsnet", dtype=jnp.bfloat16),
             scene_dtu(1, 5, 1184, 1600, 2892.0), {"nscale": 5}, iters=3))
+        # the eval pipeline's PRODUCTION default for cvp since r4
+        # (eval_model_kwargs: rect, 1.63x, ~exact — BASELINE.md round 4)
+        measure("cvp_eval_1184x1600_N5_rect_maps_s",
+                lambda: 1.0 / time_model(
+                    build_model("cvp_mvsnet", dtype=jnp.bfloat16,
+                                sweep_method="rect"),
+                    scene_dtu(1, 5, 1184, 1600, 2892.0), {"nscale": 5},
+                    iters=3))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,30 @@ def reconstruct_and_score(arch: str, model_dir, work_dir: Path,
     interval = (scene.z_range[1] - scene.z_range[0]) / 128.0
     row = {"arch": arch, "num_points": res["num_points"],
            "interval": round(interval, 4)}
+    # stage-level diagnostics: depthmap EPE + confidence quantiles explain
+    # a zero-point fusion (bad depth vs over-tight gates)
+    if arch != "oracle":
+        depth_dir = (Path(work_dir) / "IntRes" / "depthmaps"
+                     / f"e2e_{arch}")
+        epes, confs = [], []
+        for i in range(len(scene)):
+            s = scene[i]
+            f = depth_dir / f"{s['filename'].replace('/', '_')}_out.npz"
+            if not f.exists():
+                continue
+            z = np.load(f)
+            d = z["depthmap"]
+            gt_d = s["depth"]
+            if d.shape != gt_d.shape:
+                r = gt_d.shape[0] // d.shape[0]
+                gt_d = gt_d[::r, ::r][:d.shape[0], :d.shape[1]]
+            m = (gt_d > scene.z_range[0]) & (gt_d < scene.z_range[1])
+            epes.append(float(np.abs(d - gt_d)[m].mean() / interval))
+            p = z["probability"]
+            confs.append(float(np.median(p)))
+        if epes:
+            row["depth_epe_itv"] = round(float(np.mean(epes)), 2)
+            row["conf_median"] = round(float(np.mean(confs)), 3)
     if len(pred) >= 10:
         row["acc"] = round(float(np.mean(chamfer_nn(pred, gt))), 5)
         row["comp"] = round(float(np.mean(chamfer_nn(gt, pred))), 5)

@@ -82,23 +82,37 @@ def main():
         srcs = [jnp.asarray(rng.standard_normal((1, h, w, 32)), dtype)
                 for _ in range(N - 1)]
         if per_pixel:
-            base = jnp.asarray(
-                680.0 + 30.0 * rng.standard_normal((1, 1, h, w)),
-                jnp.float32)
+            # two slab regimes (tools/dispatch_census.py): "noisy" is the
+            # random-weights worst case (stage3 falls to the exact-gather
+            # fallback on every pair); "smooth" is the trained-net
+            # production regime (every stage dispatches the TIER_B kernel)
+            yy, xx = np.meshgrid(np.linspace(0, 3, h), np.linspace(0, 3, w),
+                                 indexing="ij")
+            bases = {
+                "noisy": jnp.asarray(
+                    680.0 + 30.0 * rng.standard_normal((1, 1, h, w)),
+                    jnp.float32),
+                "smooth": jnp.asarray(
+                    650.0 + 12.0 * np.sin(yy) * np.cos(xx), jnp.float32
+                )[None, None],
+            }
         else:
-            base = jnp.full((1, 1, 1, 1), 425.0, jnp.float32)
+            bases = {"uniform": jnp.full((1, 1, 1, 1), 425.0, jnp.float32)}
         dint = jnp.full((1, 1, 1, 1), d_interval * iscale, jnp.float32)
         stage = SingleStage(dtype=dtype)
+        base0 = next(iter(bases.values()))
         svars = stage.init(jax.random.PRNGKey(1), ref, srcs, cams, D,
-                           base, dint, scale, train=False)
+                           base0, dint, scale, train=False)
 
-        def run(r, srcs=srcs, svars=svars, stage=stage, D=D, base=base,
-                dint=dint, scale=scale):
-            est, prob, _ = stage.apply(svars, r, srcs, cams, D, base,
-                                       dint, scale, train=False)
-            return est
-        ms = timeit(run, ref)
-        print(f"{sname} {h}x{w} D{D} x{N-1}pairs: {ms:.1f} ms", flush=True)
+        for rname, base in bases.items():
+            def run(r, srcs=srcs, svars=svars, stage=stage, D=D, base=base,
+                    dint=dint, scale=scale):
+                est, prob, _ = stage.apply(svars, r, srcs, cams, D, base,
+                                           dint, scale, train=False)
+                return est
+            ms = timeit(run, ref)
+            print(f"{sname} {h}x{w} D{D} x{N-1}pairs [{rname}]: "
+                  f"{ms:.1f} ms", flush=True)
 
         # warp+gwc kernel alone (the stage minus the reg tail)
         from wildmvs.ops.mosaic_sweep import (homography_gwc_volume_mosaic,
