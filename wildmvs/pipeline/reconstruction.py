@@ -50,7 +50,20 @@ def load_network(model_dir: str | None, architecture: str | None,
                            ("K", "R", "t", "depth_min", "depth_max"))
     cvp_nscale = None
     if architecture == "cvp_mvsnet":
-        cvp_nscale = 5 if dataset_name == "dtu" else 4
+        # parity pipeline_utils.py:133-138 (5 on dtu / 4 elsewhere), but
+        # clamped so the coarsest pyramid level keeps >= 32 px on its
+        # short side: below that the per-pixel epipolar interval
+        # (cal_depth_hypo) degenerates — a 1-px move at a ~14 px focal
+        # length is a huge depth step and the refinement cascade diverges
+        # (observed on 64x96 synthetic scenes: depth EPE ~1500 intervals
+        # at nscale 4 vs ~5 at the clamped value)
+        base = 5 if dataset_name == "dtu" else 4
+        if isinstance(imgs, tuple):   # ragged: per-view [1, h, w, 3]
+            ih = min(min(v.shape[1], v.shape[2]) for v in imgs)
+        else:                         # stacked: [1, N, H, W, 3]
+            ih = min(imgs.shape[2], imgs.shape[3])
+        fit = max(1, int(np.floor(np.log2(max(ih // 32, 1)))) + 1)
+        cvp_nscale = min(base, fit)
     extra = {} if cvp_nscale is None else {"nscale": cvp_nscale}
     init_vars = model.init(jax.random.PRNGKey(0), *args, train=False, **extra)
     if model_dir is not None:
