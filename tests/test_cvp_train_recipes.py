@@ -86,6 +86,46 @@ def test_remat_levels_matches_default(baseline):
     assert np.abs(g1 - g0).max() < 1e-3 * max(1.0, np.abs(g0).max())
 
 
+def test_packed_regnet_train_grads_match_unpacked():
+    """Default-suite packed-vs-unpacked GRADIENT parity (advisor r4): the
+    full train-step variant above is slow-marked, so this pins the same
+    equivalence at the unit that packed_training actually changes — the
+    CVPCostRegNet train-mode path (train_packing) — in seconds: identical
+    params, train=True BN, grads of sum(out) through the packed vs the
+    unpacked conv3d stack."""
+    from wildmvs.models.cvp_mvsnet import CVPCostRegNet
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.standard_normal((1, 24, 8, 16, 16)),
+                      dtype=jnp.float32)
+    reg0 = CVPCostRegNet(train_packing=False)
+    reg1 = CVPCostRegNet(train_packing=True)
+    v = reg0.init(jax.random.PRNGKey(0), vol, train=True)
+
+    def run(reg):
+        def loss_fn(params):
+            out, mut = reg.apply(
+                {"params": params, "batch_stats": v["batch_stats"]}, vol,
+                train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out), mut["batch_stats"]
+
+        (loss, stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(v["params"])
+        g = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree_util.tree_leaves(grads)])
+        s = np.concatenate([np.asarray(x).ravel()
+                            for x in jax.tree_util.tree_leaves(stats)])
+        return float(loss), g, s
+
+    loss0, g0, s0 = run(reg0)
+    loss1, g1, s1 = run(reg1)
+    assert abs(loss1 - loss0) < 1e-5 * max(1.0, abs(loss0))
+    scale = max(1.0, float(np.abs(g0).max()))
+    assert np.abs(g1 - g0).max() < 1e-2 * scale, (
+        np.abs(g1 - g0).max(), scale)
+    assert np.abs(s1 - s0).max() < 1e-4 * max(1.0, np.abs(s0).max())
+
+
 def test_combined_recipe_runs():
     """bf16 + packed + remat — the recommended fast recipe — trains."""
     cfg = TrainConfig(architecture="cvp_mvsnet", dataset="synthetic",

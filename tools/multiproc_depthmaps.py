@@ -113,7 +113,8 @@ def _have_taskset() -> bool:
     return which("taskset") is not None and (os.cpu_count() or 0) >= 4
 
 
-def launch(nprocs: int, out_dirs, timeout: int = 1200):
+def launch(nprocs: int, out_dirs, timeout: int = 1200,
+           cores_per_proc: int = CORES_PER_PROC):
     """Spawn nprocs pinned workers; returns per-worker parsed timing dicts."""
     port = free_port()
     env = dict(os.environ)
@@ -124,8 +125,8 @@ def launch(nprocs: int, out_dirs, timeout: int = 1200):
         cmd = [sys.executable, __file__, "worker", str(p), str(nprocs),
                str(port), str(out_dirs[p])]
         if _have_taskset():
-            lo = p * CORES_PER_PROC
-            cmd = ["taskset", "-c", f"{lo}-{lo + CORES_PER_PROC - 1}"] + cmd
+            lo = p * cores_per_proc
+            cmd = ["taskset", "-c", f"{lo}-{lo + cores_per_proc - 1}"] + cmd
         procs.append(subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
                                       stderr=subprocess.PIPE, text=True))
     stats = []
@@ -147,14 +148,26 @@ def launch(nprocs: int, out_dirs, timeout: int = 1200):
 
 
 def main(nprocs: int = 2):
+    """Three arms:
+      (1) 1 proc x CORES_PER_PROC cores  — the per-"chip" baseline;
+      (2) N procs x CORES_PER_PROC cores — the sharded sweep under test;
+      (3) 1 proc x N*CORES_PER_PROC cores — the HOST CEILING: the same
+          total silicon in one process.  On a single shared-memory host,
+          arm (2) contends for memory bandwidth that real multi-HOST
+          deployments do not share, so the honest multi-host efficiency
+          estimate is arm3/arm2 (process-sharding overhead at equal
+          silicon: rendezvous + 2 fences + any imbalance), while
+          arm1/(N*arm2) reports raw same-host scaling for completeness."""
     import numpy as np
     with tempfile.TemporaryDirectory() as td:
         td = Path(td)
         d1 = td / "single"
         dn = td / "multi"          # all N workers share the out_dir: the
-        d1.mkdir(), dn.mkdir()     # shards interleave into one cache
+        dc = td / "ceiling"        # shards interleave into one cache
+        d1.mkdir(), dn.mkdir(), dc.mkdir()
         (s1,) = launch(1, [d1])
         sn = launch(nprocs, [dn] * nprocs)
+        (sc,) = launch(1, [dc], cores_per_proc=nprocs * CORES_PER_PROC)
 
         # shard reassembly: every view present exactly once, bit-identical
         files1 = sorted(d1.glob("*_out.npz"))
@@ -169,13 +182,17 @@ def main(nprocs: int = 2):
 
         t1 = s1["sweep_s_fenced"]
         tn = max(s["sweep_s_fenced"] for s in sn)
+        tc = sc["sweep_s_fenced"]
         speedup = t1 / tn
         print(json.dumps({
             "ok": True, "views": VIEWS, "nprocs": nprocs,
             "pinned": _have_taskset(),
             "sweep_s_1proc": t1, "sweep_s_nproc": tn,
+            "sweep_s_hostceiling": tc,
             "speedup": round(speedup, 3),
-            "efficiency": round(speedup / nprocs, 3),
+            "efficiency_samehost": round(speedup / nprocs, 3),
+            # sharding overhead at equal silicon — the multi-host estimate
+            "efficiency_vs_ceiling": round(tc / tn, 3),
         }))
 
 

@@ -130,7 +130,15 @@ def rect_coverage_ok(e: jnp.ndarray, A: jnp.ndarray, svals: jnp.ndarray,
     pixel grid x the s extremes: the residual u(s) is affine in the pixel
     per axis (extremes at grid corners) and monotone in s between the
     extremes wherever the denominator keeps its sign, so corner/extreme
-    probing bounds the interior to grid resolution."""
+    probing bounds the interior to grid resolution.
+
+    Degenerate denominators fail CLOSED (advisor r4): den = 1 + e_z s is
+    linear in s and pixel-independent, so requiring den > 1e-6 at BOTH s
+    extremes guarantees den > 1e-6 (and sign-constant) over the whole
+    sweep — which is exactly the precondition for the extremes-bound-the-
+    interior argument above.  A rig where den crosses zero inside the
+    sweep range therefore dispatches to the exact gather instead of
+    silently weakening the probe constraint."""
     rh, rw = ref_hw
     h, w = src_hw
     n_probe = 8
@@ -141,10 +149,14 @@ def rect_coverage_ok(e: jnp.ndarray, A: jnp.ndarray, svals: jnp.ndarray,
                       ).astype(jnp.float32)[:, None, None]
     den = 1.0 + e[2] * s_ext
     valid_den = den > 1e-6
-    dens = jnp.where(valid_den, den, 1.0)
+    den_ok = jnp.all(valid_den)          # fail closed on degenerate/sign-
+    dens = jnp.where(valid_den, den, 1.0)  # changing denominators
     ux = (gx[None] + e[0] * s_ext) / dens              # rectified coords
     uy = (gy[None] + e[1] * s_ext) / dens
-    # the exact gather's source coordinate: A u (perspective)
+    # the exact gather's source coordinate: A u (perspective).  z <= 1e-6
+    # probes are genuinely not-in-source for the EXACT gather too (behind-
+    # camera -> -10 sentinel -> border zero, module.py:147-155), so
+    # excluding them from the constraint matches the baseline semantics.
     A = A.astype(jnp.float32)
     z = A[2, 0] * ux + A[2, 1] * uy + A[2, 2]
     zok = z > 1e-6
@@ -158,7 +170,7 @@ def rect_coverage_ok(e: jnp.ndarray, A: jnp.ndarray, svals: jnp.ndarray,
     cy = uy - shift[1] + margin
     hm, wm = rh + 2 * margin, rw + 2 * margin
     canvas_in = ((cx >= 0) & (cx <= wm - 1) & (cy >= 0) & (cy <= hm - 1))
-    return jnp.all(jnp.logical_or(~src_in, canvas_in))
+    return den_ok & jnp.all(jnp.logical_or(~src_in, canvas_in))
 
 
 def _rect_resample_body(src, A, ref_hw, margin, shift, norm: str):

@@ -49,6 +49,12 @@ def eval_model_kwargs(architecture: str, bf16: bool = True,
              else {"sweep_method": sweep_method})
     if architecture == "cvp_mvsnet":
         if sweep_method == "auto":
+            # one-line runtime notice (advisor r4): callers of the default
+            # get the approximate rect numerics, not the exact sweep
+            print("[wildmvs] cvp_mvsnet eval sweep_method 'auto' -> 'rect' "
+                  "(H_inf-factored sweep, ~1.6x at full res, mean delta "
+                  "0.0005 intervals vs exact; pass sweep_method='mosaic' "
+                  "or 'gather' for the exact path)", flush=True)
             sweep = {"sweep_method": "rect"}
         return {"kwargs": {**dtype, **sweep}, "downscale": 1}
     if architecture == "vis_mvsnet":
