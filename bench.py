@@ -40,6 +40,10 @@ EVALRES_BASELINE = {
     "mvsnet_eval_1184x1600_N5_maps_s": 0.01825 * 22.4,
     "mvsnet_eval_1184x1600_N5_rect_maps_s": 0.01825 * 22.4,
     "vis_eval_1184x1600_N5_maps_s": 0.02619 * 22.4,
+    # same anchor: torch's conv/grid_sample timing is weight- and
+    # content-independent, so the trained-regime measurement divides by
+    # the identical reference throughput
+    "vis_eval_1184x1600_N5_trained_maps_s": 0.02619 * 22.4,
     "cvp_eval_1184x1600_N5_maps_s": 0.00872 * 22.4,
     "cvp_eval_1184x1600_N5_rect_maps_s": 0.00872 * 22.4,
 }
@@ -133,20 +137,39 @@ def small_init(model, args, kwargs):
 SMOKE = os.environ.get("WILDMVS_BENCH_SMOKE", "0") == "1"
 
 
-def time_model(model, args, kwargs, iters, repeats=3):
+# v5e single-chip hardware ceilings for the roofline fields (public spec:
+# 16 GB HBM @ 819 GB/s, 197 bf16 TFLOP/s)
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def time_model(model, args, kwargs, iters, repeats=3, info=None,
+               variables=None):
     """Best-of-repeats seconds per forward.
 
     NOTE: on the tunneled axon backend, block_until_ready does not actually
     synchronize; the only reliable fence is a host fetch. We therefore chain
     `iters` forwards in ONE device program (scan over input perturbations,
     which also defeats CSE) and fetch a scalar at the end.
+
+    `info` (optional dict) receives per-measurement diagnostics:
+      * spread_pct — (max-min)/best over the timing repeats (VERDICT r4
+        item 6: the 3x-boundary eval-res calls need spread, not a point);
+      * bytes_gb / tflops — XLA's own cost analysis of the compiled chain,
+        per forward;
+      * roofline_ms / roofline_frac — the v5e HBM-roofline time for that
+        byte traffic and the fraction of it this measurement achieves
+        (VERDICT r4 item 4: grounds "fast" in what the chip can physically
+        do for this gather/bandwidth-bound workload, instead of only the
+        derived A100 anchor).
     """
     import jax
     import jax.numpy as jnp
     if SMOKE:
         iters, repeats = 1, 1
     imgs = args[0]
-    variables = small_init(model, args, kwargs)
+    if variables is None:
+        variables = small_init(model, args, kwargs)
 
     @jax.jit
     def forward_chain(v, imgs):
@@ -159,12 +182,55 @@ def time_model(model, args, kwargs, iters, repeats=3):
         return total
 
     float(forward_chain(variables, imgs))  # compile+warm
-    best = float("inf")
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         float(forward_chain(variables, imgs))
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    if info is not None:
+        info["spread_pct"] = round(100.0 * (max(times) - best)
+                                   / max(best, 1e-9), 2)
+        try:
+            compiled = forward_chain.lower(variables, imgs).compile()
+            ca = compiled.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            bytes_fw = float(ca.get("bytes accessed", 0.0)) / iters
+            flops_fw = float(ca.get("flops", 0.0)) / iters
+            if bytes_fw > 0:
+                roof_s = bytes_fw / (V5E_HBM_GBPS * 1e9)
+                info["bytes_gb"] = round(bytes_fw / 1e9, 3)
+                info["roofline_ms"] = round(roof_s * 1e3, 2)
+                info["roofline_frac"] = round(roof_s / (best / iters), 3)
+            if flops_fw > 0:
+                info["tflops"] = round(flops_fw / 1e12, 4)
+                info["mfu_pct"] = round(
+                    100.0 * (flops_fw / (best / iters))
+                    / (V5E_BF16_TFLOPS * 1e12), 2)
+        except Exception as e:   # cost analysis is best-effort per backend
+            info["cost_analysis_error"] = str(e)[:120]
     return best / iters
+
+
+def _timed_trained_vis(info):
+    import jax.numpy as jnp
+    from wildmvs.data.synthetic import render_rig_plane
+    from wildmvs.models import build_model
+    from wildmvs.train.checkpoint import load_params_npz
+
+    asset = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "assets", "vis_synth_trained.npz")
+    params, stats, meta = load_params_npz(asset)
+    _, K, R, t, dmin, dmax = scene_dtu(1, 5, 1184, 1600, 2892.0)
+    Kn, Rn, tn = (np.asarray(a[0]) for a in (K, R, t))
+    imgs_np, _ = render_rig_plane(Kn, Rn, tn, 1184, 1600,
+                                  plane=(-30.0, 0.12, -0.08),
+                                  extent=320.0, seed=0)
+    args = (jnp.asarray(imgs_np)[None], K, R, t, dmin, dmax)
+    model = build_model("vis_mvsnet", depth_nums=(64, 32, 16),
+                        interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16)
+    return time_model(model, args, {}, iters=3, info=info,
+                      variables={"params": params, "batch_stats": stats})
 
 
 def main():
@@ -201,7 +267,8 @@ def main():
     args = scene(1, 3, 512, 640, 720.0)
     model = build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD)
-    dt = time_model(model, args, {}, iters=10)
+    headline_info = {}
+    dt = time_model(model, args, {}, iters=10, info=headline_info)
     value = 1.0 / dt
 
     record.update({
@@ -210,6 +277,8 @@ def main():
         "unit": "depthmaps/s",
         "vs_baseline": round(value / BASELINE_DEPTHMAPS_PER_S, 3),
     })
+    for k, v in headline_info.items():
+        record[f"headline_{k}"] = v
     note(f"bench: headline {record['value']} maps/s")
     emit()
 
@@ -226,24 +295,27 @@ def main():
             return
         try:
             note(f"bench: compiling/timing {key} ...")
-            record[key] = round(fn(), 3)
+            info = {}
+            record[key] = round(fn(info), 3)
             note(f"bench: {key} = {record[key]}")
             if key in EVALRES_BASELINE:
                 record[f"{key}_vs_baseline"] = round(
                     record[key] / EVALRES_BASELINE[key], 3)
+            for k, v in info.items():
+                record[f"{key}_{k}"] = v
         except Exception as e:  # never lose prior fields to one crash
             record[f"{key}_error"] = str(e)[:200]
         emit()
 
     if EXTRAS:
         # training-res zoo configs (round-over-round comparable fields)
-        measure("vis_mvsnet_maps_s", lambda: 1.0 / time_model(
+        measure("vis_mvsnet_maps_s", lambda info: 1.0 / time_model(
             build_model("vis_mvsnet", depth_nums=(64, 32, 16),
                         interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
-            scene(1, 3, 256, 320, 360.0), {}, iters=6))
-        measure("cvp_mvsnet_maps_s", lambda: 1.0 / time_model(
+            scene(1, 3, 256, 320, 360.0), {}, iters=6, info=info))
+        measure("cvp_mvsnet_maps_s", lambda info: 1.0 / time_model(
             build_model("cvp_mvsnet", dtype=jnp.bfloat16),
-            args, {"nscale": 5}, iters=6))
+            args, {"nscale": 5}, iters=6, info=info))
 
     if EVALRES:
         # true DTU eval protocol: ALL architectures consume the full-res
@@ -255,37 +327,50 @@ def main():
         # /4 -> 296x400 maps, vis /2 -> 592x800, cvp /1), NOT an input
         # resize. f=2892 matches DTU full-res intrinsics; the DTU-like rig
         # makes the warp spans (and so the kernel dispatch) realistic.
-        measure("mvsnet_train_dtugeo_maps_s", lambda: 1.0 / time_model(
+        measure("mvsnet_train_dtugeo_maps_s", lambda info: 1.0 / time_model(
             build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD),
-            scene_dtu(1, 3, 512, 640, 1156.8), {}, iters=10))
-        measure("mvsnet_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
+            scene_dtu(1, 3, 512, 640, 1156.8), {}, iters=10, info=info))
+        measure("mvsnet_eval_1184x1600_N5_maps_s", lambda info: 1.0 / time_model(
             build_model("mvsnet", num_depth=192, dtype=jnp.bfloat16,
                         sweep_method=SWEEP_METHOD),
-            scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4))
+            scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4, info=info))
         # the rectified (H_inf-factored) sweep — the fast eval-protocol
         # config (pipeline --sweep_method rect; ops/rect_sweep.py, exact
         # gather fallback, approximation bounded by tests/test_rect_sweep)
         measure("mvsnet_eval_1184x1600_N5_rect_maps_s",
-                lambda: 1.0 / time_model(
+                lambda info: 1.0 / time_model(
                     build_model("mvsnet", num_depth=192,
                                 dtype=jnp.bfloat16, sweep_method="rect"),
-                    scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4))
-        measure("vis_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
+                    scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=4, info=info))
+        measure("vis_eval_1184x1600_N5_maps_s", lambda info: 1.0 / time_model(
             build_model("vis_mvsnet", depth_nums=(64, 32, 16),
                         interval_scales=(2.0, 1.0, 0.5), dtype=jnp.bfloat16),
-            scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=3))
-        measure("cvp_eval_1184x1600_N5_maps_s", lambda: 1.0 / time_model(
+            scene_dtu(1, 5, 1184, 1600, 2892.0), {}, iters=3, info=info))
+
+        # PRODUCTION-regime vis: trained weights on a rendered textured
+        # scene.  The random-weights field above recenters stages 2-3 on
+        # argmin-of-noise slabs, which forces the exact-gather fallback on
+        # every pair (tools/dispatch_census.py) — a regime no deployed
+        # network is in.  A net trained via the real train CLI
+        # (assets/vis_synth_trained.npz, tools/make_trained_assets.py)
+        # produces the smooth slabs the TIER_B kernels are built for.  The
+        # torch anchor transfers unchanged: torch's dense conv /
+        # grid_sample timing does not branch on weight values or image
+        # content (no data-dependent dispatch in the reference model).
+        measure("vis_eval_1184x1600_N5_trained_maps_s",
+                lambda info: 1.0 / _timed_trained_vis(info))
+        measure("cvp_eval_1184x1600_N5_maps_s", lambda info: 1.0 / time_model(
             build_model("cvp_mvsnet", dtype=jnp.bfloat16),
-            scene_dtu(1, 5, 1184, 1600, 2892.0), {"nscale": 5}, iters=3))
+            scene_dtu(1, 5, 1184, 1600, 2892.0), {"nscale": 5}, iters=3, info=info))
         # the eval pipeline's PRODUCTION default for cvp since r4
         # (eval_model_kwargs: rect, 1.63x, ~exact — BASELINE.md round 4)
         measure("cvp_eval_1184x1600_N5_rect_maps_s",
-                lambda: 1.0 / time_model(
+                lambda info: 1.0 / time_model(
                     build_model("cvp_mvsnet", dtype=jnp.bfloat16,
                                 sweep_method="rect"),
                     scene_dtu(1, 5, 1184, 1600, 2892.0), {"nscale": 5},
-                    iters=3))
+                    iters=3, info=info))
 
 
 if __name__ == "__main__":

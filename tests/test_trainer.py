@@ -233,3 +233,27 @@ def test_training_panels_warped_srcs_reconstruct_ref():
         m = w.sum(-1) > 0
         assert m.mean() > 0.5
         assert np.abs(w - ref)[m].mean() < 0.1
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz/load_params_npz: the committable single-file asset
+    form must restore params + batch_stats bit-for-bit with metadata."""
+    import numpy as np
+    from wildmvs.train.checkpoint import load_params_npz, save_params_npz
+
+    rng = np.random.default_rng(0)
+    params = {"mod": {"conv": {"kernel": rng.standard_normal((3, 3, 4, 8))
+                               .astype(np.float32)},
+                      "bn": {"scale": np.ones(8, np.float32)}},
+              "temp": np.float32(2.5)}
+    stats = {"mod": {"bn": {"mean": rng.standard_normal(8)
+                            .astype(np.float32)}}}
+    out = save_params_npz(tmp_path / "a.npz", params, stats, "vis_mvsnet",
+                          extra_meta={"epoch": 7})
+    p2, s2, meta = load_params_npz(out)
+    assert meta == {"architecture": "vis_mvsnet", "epoch": 7}
+    np.testing.assert_array_equal(p2["mod"]["conv"]["kernel"],
+                                  params["mod"]["conv"]["kernel"])
+    np.testing.assert_array_equal(p2["temp"], params["temp"])
+    np.testing.assert_array_equal(s2["mod"]["bn"]["mean"],
+                                  stats["mod"]["bn"]["mean"])

@@ -1414,12 +1414,27 @@ def _warp_mosaic_fwd(src_fea, src_proj, ref_proj, depth_values, ref_hw,
 
 
 def _warp_mosaic_bwd(ref_hw, interpret, res, g):
-    from .plane_sweep import plane_sweep_warp
+    from .grid_sample import grid_sample_xy
+    from .plane_sweep import sweep_grid_xy
     src_fea, src_proj, ref_proj, depth_values = res
-    _, vjp = jax.vjp(
-        lambda f, sp, rp, dv: plane_sweep_warp(f, sp, rp, dv, ref_hw),
-        src_fea, src_proj, ref_proj, depth_values)
-    return vjp(g.astype(src_fea.dtype))
+    # the grid is no-grad by reference semantics (module.py:127), so the
+    # warp is LINEAR in the features and the only cotangent is the gather
+    # transpose (scatter-add).  linear_transpose over the precomputed grid
+    # skips jax.vjp's primal forward — a full gather pass the backward
+    # never uses.
+    xn, yn = sweep_grid_xy(src_proj, ref_proj, depth_values, ref_hw,
+                           src_fea.shape[1:3])
+
+    def warp_lin(im):
+        return jax.vmap(
+            lambda i, gx, gy: grid_sample_xy(i, gx, gy, align_corners=True)
+        )(im, xn, yn)
+
+    tr = jax.linear_transpose(
+        warp_lin, jax.ShapeDtypeStruct(src_fea.shape, src_fea.dtype))
+    (df,) = tr(g.astype(src_fea.dtype))
+    return (df, jnp.zeros_like(src_proj), jnp.zeros_like(ref_proj),
+            jnp.zeros_like(depth_values))
 
 
 plane_sweep_warp_mosaic.defvjp(_warp_mosaic_fwd, _warp_mosaic_bwd)
@@ -1620,15 +1635,29 @@ def _hom_mosaic_fwd(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
 
 
 def _hom_mosaic_bwd(depth_num, ref_hw, interpret, res, g):
-    from .plane_sweep import homography_sweep_warp
+    from .grid_sample import grid_sample_xy
+    from .plane_sweep import homography_sweep_grid_xy
     (src, K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
      depth_interval) = res
-    _, vjp = jax.vjp(
-        lambda f, k0, r0, tt0, ks, rs, ts, ds, di: homography_sweep_warp(
-            f, k0, r0, tt0, ks, rs, ts, depth_num, ds, di, ref_hw),
-        src, K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
-        depth_interval)
-    return vjp(g.astype(src.dtype))
+    # no-grad grid (homography.py:25/92/110): feature cotangent only, via
+    # the gather transpose over the precomputed grid (see _warp_mosaic_bwd)
+    xn, yn = homography_sweep_grid_xy(
+        src.shape[1:3], K_ref, R_ref, t_ref, K_src, R_src, t_src,
+        depth_num, depth_start, depth_interval, ref_hw, src.dtype,
+        src.shape[0])
+
+    def warp_lin(im):
+        return jax.vmap(
+            lambda i, gx, gy: grid_sample_xy(i, gx, gy, align_corners=True)
+        )(im, xn, yn)
+
+    tr = jax.linear_transpose(
+        warp_lin, jax.ShapeDtypeStruct(src.shape, src.dtype))
+    (df,) = tr(g.astype(src.dtype))
+    zeros = [jnp.zeros_like(a) for a in
+             (K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
+              depth_interval)]
+    return (df, *zeros)
 
 
 homography_sweep_warp_mosaic.defvjp(_hom_mosaic_fwd, _hom_mosaic_bwd)

@@ -72,7 +72,13 @@ def sweep_grid_xy(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
     y = jnp.where(behind, -10.0, y)
     xn = jnp.clip(x / ((sw - 1) / 2.0) - 1.0, -10.0, 10.0)
     yn = jnp.clip(y / ((sh - 1) / 2.0) - 1.0, -10.0, 10.0)
-    return xn, yn
+    # the reference computes the ENTIRE grid under torch.no_grad()
+    # (module.py:127, CVP modules.py:88/242): no gradient flows through
+    # the sampling coordinates — only through the sampled features.
+    # Matching that is also a large train-step win: the coordinate chain's
+    # VJP costs two extra 4-corner gathers per index (feature spatial
+    # gradients) plus the quotient/einsum transposes.
+    return jax.lax.stop_gradient(xn), jax.lax.stop_gradient(yn)
 
 
 def sweep_grid(src_proj: jnp.ndarray, ref_proj: jnp.ndarray,
@@ -200,14 +206,14 @@ def homography_warp(src: jnp.ndarray, H: jnp.ndarray,
     )(src, xn, yn)
 
 
-def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
-                          t_src, depth_num: int, depth_start, depth_interval,
-                          ref_hw: tuple[int, int] | None = None) -> jnp.ndarray:
-    """Vis-MVSNet cost-volume warp: [B, D, H, W, C] via per-depth homographies.
-
-    Parity: models/VisMVSNet/model_cas.py:176-187 (`build_cost_volume`) +
-    homography.py:23-121. depth_start may be [B,1,1,1] or a per-pixel
-    [B,1,H,W] map (cascade stages 2-3 re-center the slab per pixel).
+def homography_sweep_grid_xy(src_hw: tuple[int, int], K_ref, R_ref, t_ref,
+                             K_src, R_src, t_src, depth_num: int,
+                             depth_start, depth_interval,
+                             ref_hw: tuple[int, int], dtype,
+                             batch: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized (xn, yn) planes of the Vis-MVSNet homography sweep —
+    the grid half of homography_sweep_warp, exposed so custom VJPs can
+    build the feature-linear transpose without re-deriving it.
 
     TPU-first decomposition: the plane-induced homography is H(d) = A - B/d
     with A = K_src R_src R_ref^T K_ref^-1 and B = K_src R_src c_rel f^T
@@ -216,11 +222,8 @@ def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
     [B,D,H,W,3,3] homography stacks, with the per-depth work a cheap fused
     elementwise op.
     """
-    if ref_hw is None:
-        ref_hw = src.shape[1:3]
     rh, rw = ref_hw
-    sh, sw = src.shape[1:3]
-    dtype = src.dtype
+    sh, sw = src_hw
     d = depth_num
 
     K_ref_inv = jnp.linalg.inv(K_ref)
@@ -240,7 +243,7 @@ def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
 
     steps = jnp.arange(d, dtype=dtype).reshape(1, d, 1, 1)
     depth = depth_start + depth_interval * steps    # [B, D, H', W'] (H' in {1,H})
-    depth = jnp.broadcast_to(depth, (src.shape[0], d, rh, rw))
+    depth = jnp.broadcast_to(depth, (batch, d, rh, rw))
 
     de = depth + 1e-9                               # [B, D, H, W]
     warped_x = Ap[:, 0, None] - Bp[:, 0, None] / de
@@ -251,6 +254,28 @@ def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
     y = jnp.where(z > 0, warped_y / zs, -10.0)
     xn = jnp.clip(x / sw * 2.0 - 1.0, -1.1, 1.1)    # interpolate() convention
     yn = jnp.clip(y / sh * 2.0 - 1.0, -1.1, 1.1)
+    # no_grad grid parity (homography.py:25/92/110): gradients flow only
+    # through the sampled features, never the coordinates — see
+    # sweep_grid_xy for the train-step cost rationale.
+    return jax.lax.stop_gradient(xn), jax.lax.stop_gradient(yn)
+
+
+def homography_sweep_warp(src: jnp.ndarray, K_ref, R_ref, t_ref, K_src, R_src,
+                          t_src, depth_num: int, depth_start, depth_interval,
+                          ref_hw: tuple[int, int] | None = None) -> jnp.ndarray:
+    """Vis-MVSNet cost-volume warp: [B, D, H, W, C] via per-depth homographies.
+
+    Parity: models/VisMVSNet/model_cas.py:176-187 (`build_cost_volume`) +
+    homography.py:23-121. depth_start may be [B,1,1,1] or a per-pixel
+    [B,1,H,W] map (cascade stages 2-3 re-center the slab per pixel).
+    Grid math in homography_sweep_grid_xy (TPU-first H(d) = A - B/d
+    factoring)."""
+    if ref_hw is None:
+        ref_hw = src.shape[1:3]
+    xn, yn = homography_sweep_grid_xy(
+        src.shape[1:3], K_ref, R_ref, t_ref, K_src, R_src, t_src,
+        depth_num, depth_start, depth_interval, ref_hw, src.dtype,
+        src.shape[0])
     return jax.vmap(
         lambda im, gx, gy: grid_sample_xy(im, gx, gy, align_corners=True)
     )(src, xn, yn)

@@ -104,3 +104,48 @@ def restore_params(path: str | Path, params_template, batch_stats_template):
     batch_stats = jax.tree.map(lambda t, r: np.asarray(r).astype(t.dtype),
                                batch_stats_template, restored["batch_stats"])
     return params, batch_stats, meta
+
+
+def save_params_npz(path: str | Path, params, batch_stats,
+                    architecture: str, extra_meta: Optional[dict] = None
+                    ) -> Path:
+    """Single-file model-variables checkpoint (npz) — the git-committable
+    form used for in-repo reference weights (e.g. the bench's trained
+    production-regime nets).  Same information as save_params, different
+    container: flattened "params/..."/"stats/..." keys + a JSON metadata
+    entry."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrs = {}
+    for prefix, tree in (("params", params), ("stats", batch_stats)):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        for kp, leaf in flat:
+            key = prefix + "/" + "/".join(
+                k.key if hasattr(k, "key") else str(k) for k in kp)
+            arrs[key] = np.asarray(leaf)
+    meta = {"architecture": architecture}
+    meta.update(extra_meta or {})
+    arrs["__metadata__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrs)
+    return path
+
+
+def load_params_npz(path: str | Path):
+    """Inverse of save_params_npz -> (params, batch_stats, metadata)."""
+    z = np.load(Path(path))
+    meta = json.loads(bytes(z["__metadata__"]).decode())
+
+    def unflatten(prefix):
+        root: dict = {}
+        for key in z.files:
+            if not key.startswith(prefix + "/"):
+                continue
+            *mods, leaf = key[len(prefix) + 1:].split("/")
+            node = root
+            for m in mods:
+                node = node.setdefault(m, {})
+            node[leaf] = z[key]
+        return root
+
+    return unflatten("params"), unflatten("stats"), meta
