@@ -228,8 +228,9 @@ def test_cost_volume_mosaic_dispatch_interpret(monkeypatch):
 
 def test_warp_mosaic_custom_vjp_matches_gather_grad():
     """plane_sweep_warp_mosaic: forward == gather to bf16 rounding
-    (interpret mode) and gradients == the gather path's exactly (the
-    custom VJP IS the gather path's VJP at the same primals)."""
+    (interpret mode); the custom-VJP feature gradient (Mosaic scatter
+    kernel, f32 accumulation) is at least as close to the f32-truth
+    transpose as the bf16 gather path."""
     from wildmvs.ops.mosaic_sweep import plane_sweep_warp_mosaic
 
     H, W, C, D = 16, 40, 8, 6
@@ -247,9 +248,19 @@ def test_warp_mosaic_custom_vjp_matches_gather_grad():
                                    depths, (H, W)), src)
     assert np.abs(np.asarray(out_m, np.float32)
                   - np.asarray(out_g, np.float32)).max() < 0.08
+    # the custom VJP is the Mosaic scatter kernel (f32 accumulation): it
+    # must be at least as close to the F32-truth transpose as the bf16
+    # gather path it replaces, and within bf16-rounding tolerance of it
     gm = np.asarray(vjp_m(cot)[0], np.float32)
     gg = np.asarray(vjp_g(cot)[0], np.float32)
-    np.testing.assert_allclose(gm, gg, rtol=0, atol=0)
+    tr32 = jax.vjp(
+        lambda f: plane_sweep_warp(f, src_proj[None], ref_proj[None],
+                                   depths, (H, W)),
+        src.astype(jnp.float32))[1]
+    g32 = np.asarray(tr32(cot.astype(jnp.float32))[0], np.float32)
+    scale = max(1.0, np.abs(g32).max())
+    assert np.abs(gm - g32).max() <= np.abs(gg - g32).max() + 0.02 * scale
+    assert np.abs(gm - g32).max() < 0.02 * scale
 
 
 @pytest.mark.slow
@@ -566,7 +577,9 @@ def test_cost_volume_mosaic_big_table_streams(monkeypatch):
 def test_warp_mosaic_per_pixel_custom_vjp():
     """plane_sweep_warp_mosaic with [B, D, H, W] hypothesis maps (the CVP
     train refinement configuration): forward == gather to bf16 rounding
-    (interpret), gradients == the gather path's exactly."""
+    (interpret); feature gradient via the Mosaic scatter kernel (f32
+    accumulate) no worse than the bf16 gather transpose; depth cotangent
+    zero (no-grad grid)."""
     from wildmvs.ops.mosaic_sweep import plane_sweep_warp_mosaic
 
     H, W, C, D = 16, 40, 8, 4
@@ -590,16 +603,28 @@ def test_warp_mosaic_per_pixel_custom_vjp():
                   - np.asarray(out_g, np.float32)).max() < 0.08
     gm = vjp_m(cot)
     gg = vjp_g(cot)
-    for a, b in zip(gm, gg):
-        np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32), rtol=0, atol=0)
+    # feature cotangent: Mosaic scatter (f32 accumulate) vs f32 truth —
+    # no worse than the bf16 gather transpose, within rounding tolerance
+    tr32 = jax.vjp(
+        lambda f: plane_sweep_warp(f, src_proj[None], ref_proj[None],
+                                   hyp, (H, W)), src.astype(jnp.float32))[1]
+    g32 = np.asarray(tr32(cot.astype(jnp.float32))[0], np.float32)
+    scale = max(1.0, np.abs(g32).max())
+    a0 = np.asarray(gm[0], np.float32)
+    b0 = np.asarray(gg[0], np.float32)
+    assert np.abs(a0 - g32).max() <= np.abs(b0 - g32).max() + 0.02 * scale
+    assert np.abs(a0 - g32).max() < 0.02 * scale
+    # depth cotangent: zero on BOTH paths (no-grad grid, module.py:127)
+    np.testing.assert_array_equal(np.asarray(gm[1], np.float32), 0.0)
+    np.testing.assert_array_equal(np.asarray(gg[1], np.float32), 0.0)
 
 
 def test_homography_warp_mosaic_custom_vjp():
     """homography_sweep_warp_mosaic (the Vis-MVSNet train-path kernel):
-    forward == gather homography warp to bf16 rounding, gradients (incl.
-    wrt the re-centered per-pixel depth_start slab) == the gather path's
-    exactly."""
+    forward == gather homography warp to bf16 rounding; feature gradient
+    via the Mosaic scatter kernel no worse than the bf16 gather
+    transpose; the re-centered per-pixel depth_start slab gets a ZERO
+    cotangent (no-grad grid, homography.py:25/92/110)."""
     from wildmvs.ops.mosaic_sweep import homography_sweep_warp_mosaic
     from wildmvs.ops.plane_sweep import homography_sweep_warp
 
@@ -631,9 +656,21 @@ def test_homography_warp_mosaic_custom_vjp():
                   - np.asarray(out_g, np.float32)).max() < 0.08
     gm = vjp_m(cot)
     gg = vjp_g(cot.astype(out_g.dtype))
-    for a, b in zip(gm, gg):
-        np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b, np.float32), rtol=0, atol=0)
+    # feature cotangent: Mosaic scatter (f32 accumulate) vs f32 truth
+    tr32 = jax.vjp(
+        lambda f: homography_sweep_warp(
+            f, K, R0, t0, K, Rs, ts, D, start, interval, (H, W)),
+        src.astype(jnp.float32))[1]
+    g32 = np.asarray(tr32(cot.astype(jnp.float32))[0], np.float32)
+    scale = max(1.0, np.abs(g32).max())
+    a0 = np.asarray(gm[0], np.float32)
+    b0 = np.asarray(gg[0], np.float32)
+    assert np.abs(a0 - g32).max() <= np.abs(b0 - g32).max() + 0.02 * scale
+    assert np.abs(a0 - g32).max() < 0.02 * scale
+    # slab-start cotangent: zero on BOTH paths (no-grad grid,
+    # homography.py:25/92/110)
+    np.testing.assert_array_equal(np.asarray(gm[1], np.float32), 0.0)
+    np.testing.assert_array_equal(np.asarray(gg[1], np.float32), 0.0)
 
 
 def test_homography_gwc_volume_mosaic_interpret():
@@ -679,3 +716,47 @@ def test_homography_gwc_volume_mosaic_interpret():
         # tolerance scales with the gs=C/G-term dot products
         assert np.abs(a - b).max() < 0.35, np.abs(a - b).max()
         assert (np.abs(b) > 0).mean() > 0.3
+
+
+def test_mosaic_scatter_px_matches_f32_transpose():
+    """mosaic_scatter_px (the warp backward's scatter kernel): per-pixel
+    hypothesis maps, interpret mode, against the f32-truth XLA gather
+    transpose — the kernel's f32 canvas accumulation should land within
+    bf16-weight rounding of the truth.  Also covers the channel-split
+    path (vmem_budget forced tiny)."""
+    from wildmvs.ops.grid_sample import grid_sample_xy
+    from wildmvs.ops.mosaic_sweep import (mosaic_scatter_px, mvsnet_planes,
+                                          sweep_spans_px, _plan_fit_scatter)
+    from wildmvs.ops.plane_sweep import sweep_grid_xy
+
+    H, W, C, D = 16, 40, 8, 4
+    rng = np.random.default_rng(33)
+    src_proj, ref_proj = _rig(H, W)
+    base = 600.0 + 30.0 * np.sin(np.linspace(0, 3, H))[:, None] \
+        + 10.0 * np.cos(np.linspace(0, 2, W))[None, :]
+    hyp = jnp.asarray((base[None] + np.linspace(-15, 15, D)[:, None, None]
+                       ).astype(np.float32))[None]
+    g = jnp.asarray(rng.standard_normal((D, H, W, C)), jnp.bfloat16)
+
+    xn, yn = sweep_grid_xy(src_proj[None], ref_proj[None], hyp, (H, W),
+                           (H, W))
+    tr32 = jax.linear_transpose(
+        lambda im: jax.vmap(lambda i, gx, gy: grid_sample_xy(
+            i, gx, gy, align_corners=True))(im, xn, yn),
+        jax.ShapeDtypeStruct((1, H, W, C), jnp.float32))
+    (g32,) = tr32(g[None].astype(jnp.float32))
+    g32 = np.asarray(g32[0], np.float32)
+
+    P, Q, sx, sy = mvsnet_planes(src_proj, ref_proj, (H, W))
+    plan = sweep_spans_px(P, Q, hyp[0], (H, W), sx=sx, sy=sy)
+    assert bool(_plan_fit_scatter(plan, 2))
+    df = np.asarray(mosaic_scatter_px(g, P, Q, hyp[0], plan, (H, W),
+                                      interpret=True), np.float32)
+    scale = max(1.0, np.abs(g32).max())
+    assert np.abs(df - g32).max() < 0.02 * scale, np.abs(df - g32).max()
+
+    # channel-split path (canvas forced over a tiny budget): identical
+    df2 = np.asarray(mosaic_scatter_px(g, P, Q, hyp[0], plan, (H, W),
+                                       vmem_budget=1024, interpret=True),
+                     np.float32)
+    np.testing.assert_array_equal(df, df2)

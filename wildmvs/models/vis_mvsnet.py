@@ -292,7 +292,15 @@ class SingleStage(nn.Module):
             pair_results = [(est_s[i], (unc_s[i],)) for i in range(n_src)]
 
             if self.mode == "soft":
-                weight = jnp.exp(-unc_s)[:, :, None, :, :, None]
+                # exp(-u)/sum(exp(-u)) computed as softmax(-u) with
+                # max-subtraction: identical real arithmetic to the
+                # reference's bare exp weighting (model_cas.py:354-360)
+                # but finite for ANY finite uncertainty — a weakly-trained
+                # or out-of-distribution uncert head can emit u < -88,
+                # where bare exp overflows to inf and the ratio to NaN
+                lw = -unc_s[:, :, None, :, :, None]
+                lw = lw - jax.lax.stop_gradient(jnp.max(lw, 0, keepdims=True))
+                weight = jnp.exp(lw)
                 weight_sum = jnp.sum(weight, 0)
                 fused = jnp.sum(interm_s * weight, 0) / weight_sum
             elif self.mode == "hard":

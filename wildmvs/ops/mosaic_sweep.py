@@ -1413,17 +1413,9 @@ def _warp_mosaic_fwd(src_fea, src_proj, ref_proj, depth_values, ref_hw,
     return out, (src_fea, src_proj, ref_proj, depth_values)
 
 
-def _warp_mosaic_bwd(ref_hw, interpret, res, g):
+def _xla_warp_transpose(src_fea, xn, yn, g):
+    """XLA scatter-add transpose of the gather warp (fallback path)."""
     from .grid_sample import grid_sample_xy
-    from .plane_sweep import sweep_grid_xy
-    src_fea, src_proj, ref_proj, depth_values = res
-    # the grid is no-grad by reference semantics (module.py:127), so the
-    # warp is LINEAR in the features and the only cotangent is the gather
-    # transpose (scatter-add).  linear_transpose over the precomputed grid
-    # skips jax.vjp's primal forward — a full gather pass the backward
-    # never uses.
-    xn, yn = sweep_grid_xy(src_proj, ref_proj, depth_values, ref_hw,
-                           src_fea.shape[1:3])
 
     def warp_lin(im):
         return jax.vmap(
@@ -1433,6 +1425,52 @@ def _warp_mosaic_bwd(ref_hw, interpret, res, g):
     tr = jax.linear_transpose(
         warp_lin, jax.ShapeDtypeStruct(src_fea.shape, src_fea.dtype))
     (df,) = tr(g.astype(src_fea.dtype))
+    return df
+
+
+def _warp_mosaic_bwd(ref_hw, interpret, res, g):
+    from .plane_sweep import sweep_grid_xy
+    src_fea, src_proj, ref_proj, depth_values = res
+    # the grid is no-grad by reference semantics (module.py:127), so the
+    # warp is LINEAR in the features and the only cotangent is the gather
+    # transpose.  The Mosaic scatter kernel serves it in the windowed
+    # regime (one MXU contraction per chunk into a VMEM-resident canvas,
+    # f32 accumulation — measured 3x closer to the f32 truth than the
+    # bf16 XLA scatter it replaces); XLA scatter-add remains the runtime
+    # fallback behind the usual span cond.
+    b, h, w, C = src_fea.shape
+
+    def xla_path():
+        xn, yn = sweep_grid_xy(src_proj, ref_proj, depth_values, ref_hw,
+                               src_fea.shape[1:3])
+        return _xla_warp_transpose(src_fea, xn, yn, g)
+
+    if not (mosaic_px_supported(ref_hw, src_fea.dtype) or interpret):
+        df = xla_path()
+    else:
+        dfs = []
+        for bb in range(b):
+            P, Q, sx, sy = mvsnet_planes(src_proj[bb], ref_proj[bb],
+                                         ref_hw)
+            sv = depth_values[bb]
+            plan = sweep_spans_px(P, Q, sv, (h, w), sx=sx, sy=sy)
+            ok = _plan_fit_scatter(plan, 2)
+
+            def kern(bb=bb, P=P, Q=Q, sv=sv, plan=plan, sx=sx, sy=sy):
+                return mosaic_scatter_px(
+                    g[bb], P, Q, sv, plan, (h, w), KY=2, NTS=3,
+                    sx=sx, sy=sy,
+                    interpret=interpret).astype(src_fea.dtype)
+
+            def fb(bb=bb):
+                xn, yn = sweep_grid_xy(
+                    src_proj[bb:bb + 1], ref_proj[bb:bb + 1],
+                    depth_values[bb:bb + 1], ref_hw, (h, w))
+                return _xla_warp_transpose(src_fea[bb:bb + 1], xn, yn,
+                                           g[bb:bb + 1])[0]
+
+            dfs.append(jax.lax.cond(ok, kern, fb))
+        df = jnp.stack(dfs)
     return (df, jnp.zeros_like(src_proj), jnp.zeros_like(ref_proj),
             jnp.zeros_like(depth_values))
 
@@ -1635,25 +1673,60 @@ def _hom_mosaic_fwd(src, K_ref, R_ref, t_ref, K_src, R_src, t_src,
 
 
 def _hom_mosaic_bwd(depth_num, ref_hw, interpret, res, g):
-    from .grid_sample import grid_sample_xy
     from .plane_sweep import homography_sweep_grid_xy
     (src, K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
      depth_interval) = res
-    # no-grad grid (homography.py:25/92/110): feature cotangent only, via
-    # the gather transpose over the precomputed grid (see _warp_mosaic_bwd)
-    xn, yn = homography_sweep_grid_xy(
-        src.shape[1:3], K_ref, R_ref, t_ref, K_src, R_src, t_src,
-        depth_num, depth_start, depth_interval, ref_hw, src.dtype,
-        src.shape[0])
+    # no-grad grid (homography.py:25/92/110): feature cotangent only —
+    # Mosaic scatter kernel in the windowed regime, XLA scatter fallback
+    # (see _warp_mosaic_bwd)
+    b, h, w, C = src.shape
+    rh, rw = ref_hw
 
-    def warp_lin(im):
-        return jax.vmap(
-            lambda i, gx, gy: grid_sample_xy(i, gx, gy, align_corners=True)
-        )(im, xn, yn)
+    def xla_path():
+        xn, yn = homography_sweep_grid_xy(
+            src.shape[1:3], K_ref, R_ref, t_ref, K_src, R_src, t_src,
+            depth_num, depth_start, depth_interval, ref_hw, src.dtype,
+            src.shape[0])
+        return _xla_warp_transpose(src, xn, yn, g)
 
-    tr = jax.linear_transpose(
-        warp_lin, jax.ShapeDtypeStruct(src.shape, src.dtype))
-    (df,) = tr(g.astype(src.dtype))
+    if not (mosaic_px_supported(ref_hw, src.dtype) or interpret):
+        df = xla_path()
+    else:
+        steps = jnp.arange(depth_num,
+                           dtype=jnp.float32).reshape(depth_num, 1, 1)
+        dfs = []
+        for bb in range(b):
+            P, Q, sx, sy = vis_planes(K_ref[bb], R_ref[bb], t_ref[bb],
+                                      K_src[bb], R_src[bb], t_src[bb],
+                                      ref_hw, (h, w))
+            start = depth_start[bb, 0].astype(jnp.float32)
+            interval = depth_interval[bb, 0, 0, 0].astype(jnp.float32)
+            depth = start[None] + interval * steps
+            svals = 1.0 / (depth + 1e-9)
+            if svals.shape[1] == 1:
+                svals = svals[:, 0, 0]
+            else:
+                svals = jnp.broadcast_to(svals, (depth_num, rh, rw))
+            plan = sweep_spans_px(P, Q, svals, (h, w), sx=sx, sy=sy)
+            ok = _plan_fit_scatter(plan, 2)
+
+            def kern(bb=bb, P=P, Q=Q, svals=svals, plan=plan, sx=sx,
+                     sy=sy):
+                return mosaic_scatter_px(
+                    g[bb], P, Q, svals, plan, (h, w), KY=2, NTS=3,
+                    sx=sx, sy=sy, interpret=interpret).astype(src.dtype)
+
+            def fb(bb=bb):
+                xn, yn = homography_sweep_grid_xy(
+                    (h, w), K_ref[bb:bb + 1], R_ref[bb:bb + 1],
+                    t_ref[bb:bb + 1], K_src[bb:bb + 1], R_src[bb:bb + 1],
+                    t_src[bb:bb + 1], depth_num, depth_start[bb:bb + 1],
+                    depth_interval[bb:bb + 1], ref_hw, src.dtype, 1)
+                return _xla_warp_transpose(src[bb:bb + 1], xn, yn,
+                                           g[bb:bb + 1])[0]
+
+            dfs.append(jax.lax.cond(ok, kern, fb))
+        df = jnp.stack(dfs)
     zeros = [jnp.zeros_like(a) for a in
              (K_ref, R_ref, t_ref, K_src, R_src, t_src, depth_start,
               depth_interval)]
@@ -1830,3 +1903,185 @@ def _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
             lambda: jax.lax.cond(span_all <= 7, kernel_branch(8),
                                  gather_branch)))
     return branch
+
+
+# ---------------------------------------------------------------------------
+# Scatter (transpose) kernel — the warp backward's feature cotangent.
+#
+# The XLA scatter-add that autodiff emits for the gather transpose costs
+# ~17.5 ns/index on v5e (tools/time_cvp_train_parts.py r5: the CVP train
+# step's dominant term, 137 + 92 ms of 549).  The transpose of the
+# windowed warp has the same structure the forward kernels exploit: per
+# (plane, 8-row block, 128-px chunk) every contribution lands in a KY+1
+# source-row x NTS-tile window.  Within a chunk the scatter is expressed
+# as ONE MXU contraction: one-hot matrices E0/E1 [W2, 128] (built in the
+# natural sublane-iota x lane-pixel layout — no in-kernel transposes)
+# select each pixel's x0/x1 target columns, the per-corner bilinear
+# weights fold into the cotangent rows, and the product accumulates into
+# a VMEM-resident f32 source canvas indexed by dynamic (row, col-tile).
+# ---------------------------------------------------------------------------
+
+def _kernel_scatter_px(plan_ref,                 # SMEM [1, 1, RB*XC] i32
+                       px_ref, py_ref, pz_ref,   # VMEM [RB, Wp] f32
+                       qx_ref, qy_ref, qz_ref,
+                       dmap_ref,                 # VMEM [1, RB, Wp] f32
+                       g_ref,                    # VMEM [1, RB, C, Wp] bf16
+                       canvas_ref,               # out [Ht2, C, Wcan] f32
+                       *, C, H, W, KY, XC, NTS, sx, sy):
+    yy = pl.program_id(0)
+    d_i = pl.program_id(1)
+    W2 = NTS * LANES
+
+    @pl.when((yy == 0) & (d_i == 0))
+    def _():
+        canvas_ref[:] = jnp.zeros_like(canvas_ref)
+
+    # per-pixel corner plan — identical math to _kernel_px
+    d = dmap_ref[0]                               # [RB, Wp]
+    rx = px_ref[:] * d + qx_ref[:]
+    ry = py_ref[:] * d + qy_ref[:]
+    rz = pz_ref[:] * d + qz_ref[:]
+    xs = jnp.where(rz > 0, rx / rz, -10.0) * sx
+    ys = jnp.where(rz > 0, ry / rz, -10.0) * sy
+    x0f = jnp.floor(xs)
+    y0f = jnp.floor(ys)
+    fxb = xs - x0f
+    fyb = ys - y0f
+    validb = ((x0f >= -1.0) & (x0f <= float(W) - 1.0)
+              & (y0f >= -1.0) & (y0f <= float(H) - 1.0))
+    ix = jnp.clip(x0f + 1.0, 0.0, float(W + 1)).astype(jnp.int32)
+    iy = jnp.clip(y0f + 1.0, 0.0, float(H + 1)).astype(jnp.int32)
+    vb = validb.astype(jnp.float32)
+    w00 = ((1.0 - fyb) * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w01 = ((1.0 - fyb) * fxb * vb).astype(jnp.bfloat16)
+    w10 = (fyb * (1.0 - fxb) * vb).astype(jnp.bfloat16)
+    w11 = (fyb * fxb * vb).astype(jnp.bfloat16)
+
+    jota = jax.lax.broadcasted_iota(jnp.int32, (W2, LANES), 0)
+
+    for r in range(RB):
+        for xc in range(XC):
+            ls = slice(xc * LANES, (xc + 1) * LANES)
+            packed = plan_ref[0, 0, r * XC + xc]
+            ybase = packed & 0xFFFF
+            xtb = packed >> 16
+            relcol = (ix[r, ls] - xtb * LANES).reshape(1, LANES)
+            # one-hot target-column selectors, x0 and x1 corners
+            e0 = (jota == relcol).astype(jnp.bfloat16)   # [W2, 128]
+            e1 = (jota == relcol + 1).astype(jnp.bfloat16)
+            iyr = iy[r, ls].reshape(1, LANES)
+            g_chunk = g_ref[0, r, :, ls]                 # [C, 128] bf16
+            lhsA, lhsB = [], []
+            for m in range(KY + 1):
+                mk0 = (iyr == ybase + m).astype(jnp.bfloat16)
+                mk1 = (iyr == ybase + m - 1).astype(jnp.bfloat16)
+                aA = w00[r, ls].reshape(1, LANES) * mk0 \
+                    + w10[r, ls].reshape(1, LANES) * mk1
+                aB = w01[r, ls].reshape(1, LANES) * mk0 \
+                    + w11[r, ls].reshape(1, LANES) * mk1
+                lhsA.append(g_chunk * aA)
+                lhsB.append(g_chunk * aB)
+            # one contraction: [(KY+1)C, 256] x [W2, 256] over lanes
+            lhs = jnp.concatenate(
+                [jnp.concatenate(lhsA, axis=0),
+                 jnp.concatenate(lhsB, axis=0)], axis=1)
+            rhs = jnp.concatenate([e0, e1], axis=1)
+            out = jax.lax.dot_general(
+                lhs, rhs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [(KY+1)C, W2]
+            colb = pl.multiple_of(xtb * LANES, LANES)
+            for m in range(KY + 1):
+                cur = canvas_ref[ybase + m, :, pl.ds(colb, W2)]
+                canvas_ref[ybase + m, :, pl.ds(colb, W2)] = (
+                    cur + out[m * C:(m + 1) * C])
+
+
+def scatter_canvas_bytes(src_hw: tuple[int, int], c: int) -> int:
+    h, w = src_hw
+    wcan = -(-(w + 2) // LANES) * LANES
+    return (h + 2) * c * wcan * 4
+
+
+def mosaic_scatter_px(g: jnp.ndarray, P: jnp.ndarray, Q: jnp.ndarray,
+                      svals: jnp.ndarray, plan: dict,
+                      src_hw: tuple[int, int], KY: int = 2, NTS: int = 3,
+                      sx: float = 1.0, sy: float = 1.0,
+                      vmem_budget: int = 12 << 20,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Feature cotangent of the px warp: df[h, w, C] (f32) from the warp
+    output cotangent g [D, H, W, C].
+
+    Exact transpose of the warp's bilinear gather in the windowed regime:
+    dispatch iff plan yspan <= KY-1 and xover <= -1 (the x1 corner needs
+    one column beyond the forward's window bound).  Splits channels into
+    multiple passes when the f32 source canvas exceeds the VMEM budget.
+    """
+    h, w = src_hw
+    D, H0, W0, C = g.shape
+    g2 = jnp.transpose(g, (0, 1, 3, 2))           # [D, H0, C, W0]
+    P, Q, svals, H = _pad_ref_rows(P, Q, svals)
+    svals = _align_sval_rows(svals, H)
+    Wgrid = P.shape[2]
+    XC = (Wgrid + LANES - 1) // LANES
+    Wp = XC * LANES
+    g2 = jnp.pad(g2.astype(jnp.bfloat16),
+                 ((0, 0), (0, H - H0), (0, 0), (0, Wp - W0)))
+    rp = jnp.pad(P, ((0, 0), (0, 0), (0, Wp - Wgrid)), constant_values=0.0)
+    qp = jnp.pad(Q, ((0, 0), (0, 0), (0, Wp - Wgrid)), constant_values=-1e9)
+    if svals.ndim == 1:
+        dmap = jnp.broadcast_to(
+            svals.astype(jnp.float32)[:, None, None], (D, H, Wp))
+    else:
+        dmap = jnp.pad(svals.astype(jnp.float32),
+                       ((0, 0), (0, 0), (0, Wp - Wgrid)))
+
+    Ht2 = h + 2
+    Wcan = -(-(w + 2) // LANES) * LANES
+    NTS = min(NTS, Wcan // LANES)
+    yb = jnp.clip(plan["ybase"], 0, Ht2 - (KY + 1))
+    xtb = jnp.clip(plan["xtb"], 0, Wcan // LANES - NTS)
+    hb = H // RB
+    packed = (yb | (xtb << 16)).reshape(D * hb, 1, RB * XC)
+
+    # channel splitting: the f32 canvas must fit VMEM
+    if scatter_canvas_bytes(src_hw, C) > vmem_budget and C % 2 == 0:
+        halves = [
+            mosaic_scatter_px(g[..., s], P, Q, svals, plan, src_hw,
+                              KY=KY, NTS=NTS, sx=sx, sy=sy,
+                              vmem_budget=vmem_budget, interpret=interpret)
+            for s in (slice(0, C // 2), slice(C // 2, C))]
+        return jnp.concatenate(halves, axis=-1)
+
+    row_spec = pl.BlockSpec((RB, Wp), lambda yy, di, *pf: (yy, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(hb, D),
+        in_specs=[
+            pl.BlockSpec((1, 1, RB * XC),
+                         lambda yy, di, *pf: (di * hb + yy, 0, 0),
+                         memory_space=pltpu.SMEM),
+            row_spec, row_spec, row_spec,
+            row_spec, row_spec, row_spec,
+            pl.BlockSpec((1, RB, Wp), lambda yy, di, *pf: (di, yy, 0)),
+            pl.BlockSpec((1, RB, C, Wp), lambda yy, di, *pf: (di, yy, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Ht2, C, Wcan),
+                               lambda yy, di, *pf: (0, 0, 0)),
+    )
+    kern = functools.partial(
+        _kernel_scatter_px, C=C, H=h, W=w, KY=KY, XC=XC, NTS=NTS,
+        sx=sx, sy=sy)
+    canvas = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Ht2, C, Wcan), jnp.float32),
+        interpret=interpret,
+    )(packed, rp[0], rp[1], rp[2], qp[0], qp[1], qp[2], dmap, g2)
+    # canvas col = x + 1, row = y + 1; border rows/cols are the
+    # out-of-image corner contributions the gather samples zeros for
+    return jnp.transpose(canvas[1:h + 1, :, 1:w + 1], (0, 2, 1))
+
+
+def _plan_fit_scatter(plan, KY):
+    """Scatter dispatch: x1 = x0 + 1 needs one extra window column."""
+    return (plan["yspan"] <= KY - 1) & (plan["xover"] <= -1)
