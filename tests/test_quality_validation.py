@@ -159,3 +159,49 @@ def test_fusion_parameter_sensitivity_shape():
     assert comp2 < comp3 < comp4, (comp2, comp3, comp4)
     best_acc = min(acc2, acc3, acc4)
     assert acc3 < 2.0 * best_acc
+
+
+@pytest.mark.slow
+def test_e2e_quality_with_networks():
+    """End-to-end quality with NETWORKS in the loop (VERDICT r4 item 5):
+    trains mvsnet + vis_mvsnet via the real train CLI (40 epochs, minutes
+    on CPU), reconstructs a rendered 5-view scene through all 4 stages,
+    and pins the chain's quality so it cannot silently rot.
+
+    Bounds are ~1.5x the r5 measured values (BASELINE.md round-5 e2e
+    table: mvsnet 1913 pts / EPE 4.89 / acc 0.127 at prob 0.05;
+    vis 261 pts / EPE 7.59 / acc 0.122).  cvp is excluded: its training
+    does not converge on the tiny synthetic set under the reference's
+    gradient semantics (EPE 45-52 — documented in BASELINE.md; its
+    step/loss correctness is pinned by the torch-oracle parity tests)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tool = str(Path(__file__).parents[1] / "tools" / "e2e_quality.py")
+    out = subprocess.run(
+        [sys.executable, tool, "--epochs", "40", "--prob_threshold",
+         "0.05", "--archs", "oracle,mvsnet,vis_mvsnet"],
+        capture_output=True, text=True, timeout=3600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = {}
+    for line in out.stdout.strip().splitlines():
+        try:
+            r = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(r, dict) and "arch" in r:
+            rows[r["arch"]] = r
+    assert rows["oracle"]["num_points"] >= 5000       # pipeline ceiling
+    assert rows["oracle"]["acc"] < 0.006
+    m = rows["mvsnet"]
+    assert "error" not in m, m
+    assert m["num_points"] >= 1000, m
+    assert m["depth_epe_itv"] <= 7.5, m
+    assert m["acc"] <= 0.20, m
+    v = rows["vis_mvsnet"]
+    assert "error" not in v, v
+    assert v["num_points"] >= 150, v
+    assert v["depth_epe_itv"] <= 11.5, v
+    assert v["acc"] <= 0.20, v

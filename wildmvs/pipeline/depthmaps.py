@@ -58,6 +58,16 @@ def eval_model_kwargs(architecture: str, bf16: bool = True,
             sweep = {"sweep_method": "rect"}
         return {"kwargs": {**dtype, **sweep}, "downscale": 1}
     if architecture == "vis_mvsnet":
+        if sweep_method == "rect":
+            # legal but known-slower: the cascade's per-pixel slabs track
+            # the scene surface, whose slope-driven row spans defeat the
+            # rect KY=2 window on most pairs — every such pair then pays
+            # the A-resample PLUS the exact-gather fallback (BASELINE.md
+            # r4/r5 measurements; 'auto' is the measured optimum for vis)
+            print("[wildmvs] vis_mvsnet with sweep_method='rect' measured "
+                  "SLOWER than 'auto' at the full-res protocol "
+                  "(BASELINE.md round 4/5) — 'auto' is the per-arch "
+                  "optimum", flush=True)
         return {"kwargs": {"depth_nums": (64, 32, 16),
                            "interval_scales": (2.0, 1.0, 0.5), **dtype,
                            **sweep},
