@@ -25,7 +25,8 @@ def pytest_addoption(parser):
     parser.addoption(
         "--runslow", action="store_true", default=False,
         help="run tests marked slow (full oracle-parity + multi-epoch "
-             "sweeps; default suite targets < 20 min)")
+             "sweeps; default suite measures ~30 min on this 4-core "
+             "host — 197 tests, r5)")
 
 
 def pytest_collection_modifyitems(config, items):
