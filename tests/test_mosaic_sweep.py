@@ -760,3 +760,34 @@ def test_mosaic_scatter_px_matches_f32_transpose():
                                        vmem_budget=1024, interpret=True),
                      np.float32)
     np.testing.assert_array_equal(df, df2)
+
+
+def test_kernel_ky1_matches_gather_when_span_zero():
+    """KY=1 resident tier (r5): when every chunk's row span is 0 the
+    prefetched ybase IS each pixel's candidate row — one gather per
+    (chunk, x-tile), no row select — and must still equal the gather."""
+    from wildmvs.ops.mosaic_sweep import (mosaic_sweep_warp, rot_planes,
+                                          sweep_spans)
+
+    H, W, C, D = 16, 40, 8, 6
+    rng = np.random.default_rng(11)
+    src = jnp.asarray(rng.standard_normal((H, W, C)), jnp.bfloat16)
+    # pure-x translation, identity rotation: the source row coordinate is
+    # depth-independent, so every chunk's span is exactly 0
+    K = jnp.asarray(np.array([[50.0, 0, W / 2], [0, 50.0, H / 2],
+                              [0, 0, 1.0]], np.float32))
+    P0 = jnp.eye(4)
+    P0 = P0.at[:3, :3].set(K)
+    P1 = P0.at[0, 3].set(50.0 * 2.0)   # K @ t with t = (2, 0, 0)
+    src_proj, ref_proj = P1, P0
+    depths = jnp.linspace(425.0, 935.0, D).astype(jnp.float32)
+    ref = plane_sweep_warp(src[None].astype(jnp.float32), src_proj[None],
+                           ref_proj[None], depths[None], (H, W))[0]
+    rxyz, trans = rot_planes(src_proj, ref_proj, (H, W))
+    ybase, span = sweep_spans(rxyz, trans, depths, (H, W))
+    assert int(span) == 0, int(span)
+    out = mosaic_sweep_warp(src, rxyz, trans, depths, ybase, KY=1,
+                            interpret=True)
+    out_hw = np.asarray(jnp.transpose(out, (0, 1, 3, 2)), np.float32)
+    assert np.abs(out_hw - np.asarray(ref)).max() < 0.08
+    assert (np.abs(np.asarray(ref)) > 0).mean() > 0.5

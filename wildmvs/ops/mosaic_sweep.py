@@ -1895,13 +1895,19 @@ def _cost_volume_mosaic_v1(feats, proj, src_idx, reference_frame,
                                      warp_fns=fns, temperature=temp)
         return cv[0]
 
+    # KY=1 tier: when every chunk's span is 0 the per-pixel candidate row
+    # IS the prefetched ybase — one gather per (chunk, x-tile) instead of
+    # two, and no row select.  The headline rig measures span 0 (r5 floor
+    # derivation), so this halves the resident kernel's gather issue.
     branch = jax.lax.cond(
-        span_all <= 1,
-        kernel_branch(2),
+        span_all <= 0,
+        kernel_branch(1),
         lambda: jax.lax.cond(
-            span_all <= 3, kernel_branch(4),
-            lambda: jax.lax.cond(span_all <= 7, kernel_branch(8),
-                                 gather_branch)))
+            span_all <= 1, kernel_branch(2),
+            lambda: jax.lax.cond(
+                span_all <= 3, kernel_branch(4),
+                lambda: jax.lax.cond(span_all <= 7, kernel_branch(8),
+                                     gather_branch))))
     return branch
 
 
